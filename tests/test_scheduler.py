@@ -1,0 +1,117 @@
+"""Scheduler behavior: chunked prefill, prefill/decode interleave,
+preemption (reference scheduler.rs semantics)."""
+
+from vllm_rs_tpu.config import SamplingParams, SchedulerConfig
+from vllm_rs_tpu.core.block_manager import BlockManager
+from vllm_rs_tpu.core.scheduler import Scheduler
+from vllm_rs_tpu.core.sequence import Sequence, SequenceStatus
+
+
+def make(num_blocks=64, block_size=4, **kw):
+    defaults = dict(
+        max_num_seqs=8,
+        chunk_size=16,
+        max_model_len=128,
+        prefill_buckets=(4, 8, 16),
+        max_consecutive_prefills=2,
+    )
+    defaults.update(kw)
+    cfg = SchedulerConfig(**defaults)
+    bm = BlockManager(num_blocks, block_size)
+    return Scheduler(cfg, bm), bm
+
+
+def seq_of(n_prompt, **kw):
+    return Sequence(list(range(1, n_prompt + 1)), SamplingParams(**kw))
+
+
+def test_chunked_prefill_requeue():
+    sched, _ = make()
+    s = seq_of(40)  # needs 3 chunks of 16
+    sched.add(s)
+    b1 = sched.schedule()
+    assert b1.kind == "prefill" and b1.chunk_sizes == [16]
+    sched.postprocess(b1, [0])
+    assert s.num_cached_tokens == 16
+    assert not sched.running  # still prefilling
+    b2 = sched.schedule()
+    assert b2.chunk_sizes == [16]
+    sched.postprocess(b2, [0])
+    b3 = sched.schedule()
+    assert b3.chunk_sizes == [8]
+    sched.postprocess(b3, [42])
+    assert s.prefill_done
+    assert s.output_token_ids == [42]
+    assert s.status == SequenceStatus.RUNNING
+
+
+def test_small_prompt_packing():
+    sched, _ = make()
+    for _ in range(4):
+        sched.add(seq_of(3))
+    b = sched.schedule()
+    assert b.kind == "prefill"
+    assert len(b.seqs) == 4  # tier 4, rows = 16/4 = 4
+    assert b.chunk_sizes == [3, 3, 3, 3]
+
+
+def test_prefill_decode_interleave_fairness():
+    sched, _ = make(max_consecutive_prefills=2)
+    s0 = seq_of(4)
+    sched.add(s0)
+    b = sched.schedule()
+    sched.postprocess(b, [1])
+    assert s0.status == SequenceStatus.RUNNING
+    # flood with waiting prefills; decodes must still get scheduled
+    for _ in range(10):
+        sched.add(seq_of(4))
+    kinds = []
+    for _ in range(6):
+        b = sched.schedule()
+        kinds.append(b.kind)
+        sched.postprocess(b, [1] * len(b.seqs))
+    assert "decode" in kinds
+
+
+def test_finish_on_eos_and_max_tokens():
+    sched, bm = make()
+    sched.set_eos_token_ids((0,))
+    s1 = seq_of(4, max_tokens=100)
+    s2 = seq_of(4, max_tokens=2, ignore_eos=True)
+    sched.add(s1)
+    sched.add(s2)
+    b = sched.schedule()
+    sched.postprocess(b, [5, 5])  # both prefill-done, one token each
+    b = sched.schedule()
+    assert b.kind == "decode"
+    sched.postprocess(b, [0, 7])  # s1 hits EOS; s2 hits max_tokens (2)
+    assert s1.is_finished and s1.finish_reason.value == "stop"
+    assert s2.is_finished and s2.finish_reason.value == "length"
+    assert not sched.running
+    bm.check_invariants()
+
+
+def test_preemption_recompute_on_kv_exhaustion():
+    # 8 blocks of 4 → 32 slots total
+    sched, bm = make(num_blocks=8, prefix_cache_enabled=False)
+    a = seq_of(12, max_tokens=50, ignore_eos=True)  # 3 blocks
+    b = seq_of(12, max_tokens=50, ignore_eos=True)  # 3 blocks
+    sched.add(a)
+    sched.add(b)
+    batch = sched.schedule()
+    sched.postprocess(batch, [1] * len(batch.seqs))
+    while not (a.prefill_done and b.prefill_done):
+        batch = sched.schedule()
+        sched.postprocess(batch, [1] * len(batch.seqs))
+    # decode until blocks run out; scheduler must preempt the youngest (b)
+    preempted = False
+    for _ in range(40):
+        batch = sched.schedule()
+        if batch.is_empty:
+            break
+        if b.status == SequenceStatus.WAITING and not b.is_finished:
+            preempted = True
+            break
+        sched.postprocess(batch, [1] * len(batch.seqs))
+    assert preempted
+    assert a.status == SequenceStatus.RUNNING

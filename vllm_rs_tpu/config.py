@@ -1,0 +1,295 @@
+"""Configuration types.
+
+Behavioral counterpart of the reference's `src/utils/config.rs` (Config /
+EngineConfig / SamplingParams / GenerationConfig / QuantConfig, see
+reference config.rs:219-757), redesigned for a jax/XLA engine: everything
+that feeds a jitted step function is static and hashable; per-request
+knobs live in SamplingParams and are turned into device arrays by the
+runner.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# Model configuration (HF config.json superset; reference config.rs:219-282)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture description consumed by model code.
+
+    Frozen + hashable so it can be a static argument of jitted functions.
+    """
+
+    model_type: str = "llama"
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: int = 0  # 0 → hidden_size // num_attention_heads
+    vocab_size: int = 128256
+    max_position_embeddings: int = 8192
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    rope_scaling: Optional[tuple] = None  # ("type", factor, ...) tuple, hashable
+    partial_rotary_factor: float = 1.0
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    hidden_act: str = "silu"
+    # qwen3-style per-head q/k RMSNorm
+    qk_norm: bool = False
+    # gemma-style (weight + 1) norm semantics and embedding scaling
+    norm_plus_one: bool = False
+    embed_scale: float = 1.0
+    # logit softcapping (gemma2/3)
+    final_logit_softcap: float = 0.0
+    attn_logit_softcap: float = 0.0
+    # sliding window attention: 0 = disabled; pattern controls which layers
+    sliding_window: int = 0
+    # every `sliding_window_pattern`-th layer is global, others sliding (gemma3)
+    sliding_window_pattern: int = 1
+    # MoE
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    shared_expert_intermediate_size: int = 0
+    norm_topk_prob: bool = True
+    decoder_sparse_step: int = 1
+    # scoring for router: "softmax" | "sigmoid"
+    router_scoring: str = "softmax"
+    eos_token_ids: tuple = ()
+    bos_token_id: int = -1
+    dtype: str = "bfloat16"
+    # extra per-arch knobs that don't merit first-class fields
+    extra: tuple = ()
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim_ * self.partial_rotary_factor)
+
+    def extra_get(self, key: str, default=None):
+        for k, v in self.extra:
+            if k == key:
+                return v
+        return default
+
+    @staticmethod
+    def from_hf_dict(cfg: dict, model_type: Optional[str] = None) -> "ModelConfig":
+        """Build from a parsed HF config.json dict.
+
+        Mirrors the reference's Config::from (config.rs:219-282) including
+        defaults for absent fields.
+        """
+        # some configs nest under "text_config" (multimodal)
+        if "text_config" in cfg and "hidden_size" not in cfg:
+            merged = dict(cfg)
+            merged.update(cfg["text_config"])
+            cfg = merged
+        mt = model_type or cfg.get("model_type", "llama")
+        hidden = cfg.get("hidden_size", 4096)
+        n_heads = cfg.get("num_attention_heads", 32)
+        eos = cfg.get("eos_token_id", [])
+        if isinstance(eos, int):
+            eos = [eos]
+        rope_scaling = cfg.get("rope_scaling") or None
+        if rope_scaling:
+            rope_scaling = tuple(sorted(rope_scaling.items(), key=lambda kv: kv[0]))
+        return ModelConfig(
+            model_type=mt,
+            hidden_size=hidden,
+            intermediate_size=cfg.get("intermediate_size", 4 * hidden),
+            num_hidden_layers=cfg.get("num_hidden_layers", 32),
+            num_attention_heads=n_heads,
+            num_key_value_heads=cfg.get("num_key_value_heads", n_heads),
+            head_dim=cfg.get("head_dim", 0) or 0,
+            vocab_size=cfg.get("vocab_size", 32000),
+            max_position_embeddings=cfg.get("max_position_embeddings", 8192),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=rope_scaling,
+            partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            attention_bias=cfg.get("attention_bias", cfg.get("qkv_bias", False)),
+            hidden_act=cfg.get("hidden_act", "silu"),
+            qk_norm=mt in ("qwen3", "qwen3_moe"),
+            norm_plus_one=mt.startswith("gemma"),
+            embed_scale=float(hidden) ** 0.5 if mt.startswith("gemma") else 1.0,
+            final_logit_softcap=cfg.get("final_logit_softcapping", 0.0) or 0.0,
+            attn_logit_softcap=cfg.get("attn_logit_softcapping", 0.0) or 0.0,
+            sliding_window=cfg.get("sliding_window", 0) or 0,
+            sliding_window_pattern=cfg.get("sliding_window_pattern", 1) or 1,
+            num_experts=cfg.get("num_experts", cfg.get("num_local_experts", 0)) or 0,
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 0) or 0,
+            moe_intermediate_size=cfg.get("moe_intermediate_size", 0) or 0,
+            shared_expert_intermediate_size=cfg.get(
+                "shared_expert_intermediate_size", 0
+            )
+            or 0,
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
+            decoder_sparse_step=cfg.get("decoder_sparse_step", 1) or 1,
+            eos_token_ids=tuple(eos),
+            bos_token_id=cfg.get("bos_token_id", -1) if cfg.get("bos_token_id") is not None else -1,
+            dtype=str(cfg.get("torch_dtype", "bfloat16")).replace("torch.", ""),
+        )
+
+    @staticmethod
+    def from_json_file(path: str, model_type: Optional[str] = None) -> "ModelConfig":
+        with open(path) as f:
+            return ModelConfig.from_hf_dict(json.load(f), model_type)
+
+
+# ---------------------------------------------------------------------------
+# Cache / engine configuration (reference config.rs:283-328, EngineConfig)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CacheConfig:
+    """Paged KV cache geometry.
+
+    The KV cache is one array per layer of logical shape
+    [num_blocks * block_size, kv_heads, head_dim] (a flat "slot" axis that
+    block tables index into); see ops/kv_cache.py. Equivalent of the
+    reference's KVCacheAllocator plan (kvcache_allocator.rs:337-468).
+    """
+
+    block_size: int = 16
+    num_blocks: int = 512
+    # dtype of cached K/V: "bfloat16" | "int8" | "float8_e4m3fn"
+    kv_dtype: str = "bfloat16"
+    # blocks held by the CPU swap pool (reference block_manager.rs:876-1001)
+    num_swap_blocks: int = 0
+
+    @property
+    def num_slots(self) -> int:
+        return self.block_size * self.num_blocks
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """Continuous batching limits (reference scheduler.rs:48-58, 203)."""
+
+    max_num_seqs: int = 64
+    # token budget per prefill step (reference CHUNK_SIZE, scheduler.rs:203)
+    chunk_size: int = 2048
+    # bucket tiers for padded prefill steps; a prefill batch is packed so
+    # every row shares one tier T and rows * T stays near chunk_size
+    prefill_buckets: tuple = (16, 64, 256, 1024, 2048)
+    max_model_len: int = 8192
+    # prefill/decode interleave fairness: after this many consecutive prefill
+    # steps with decodes waiting, force a decode step (scheduler.rs:250-282)
+    max_consecutive_prefills: int = 4
+    # prefix-cache occupancy control (scheduler.rs:48-58)
+    prefix_cache_enabled: bool = True
+    prefix_cache_max_ratio: float = 0.8
+    prefix_cache_evict_to_ratio: float = 0.5
+    # KV pressure: swap out / preempt when used blocks exceed this ratio
+    kv_pressure_ratio: float = 0.95
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine configuration (reference EngineConfig, config.rs:283-328)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    # weight quantization: None | "int8" | "int4" (canonical packed formats,
+    # see quant/pack.py); GGUF/GPTQ/AWQ checkpoints are converted on load.
+    quant: Optional[str] = None
+    # quant group size along the reduction dim
+    quant_group: int = 128
+    # tensor-parallel world size (mesh "model" axis)
+    tp_size: int = 1
+    # data-parallel size (mesh "data" axis)
+    dp_size: int = 1
+    # token bucket sizes for prefill steps (padded; one compile per bucket)
+    prefill_buckets: tuple = (16, 64, 256, 1024, 2048)
+    # batch buckets for decode steps
+    decode_buckets: tuple = (8, 16, 32, 64)
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Per-request sampling parameters (reference config.rs:506-537)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SamplingParams:
+    temperature: float = 1.0
+    top_k: int = 0  # 0 = disabled
+    top_p: float = 1.0
+    min_p: float = 0.0
+    max_tokens: int = 1024
+    repetition_penalty: float = 1.0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    stop: Sequence[str] = ()
+    stop_token_ids: Sequence[int] = ()
+    seed: Optional[int] = None
+    ignore_eos: bool = False
+    logprobs: Optional[int] = None
+    # guided decoding constraint (see utils/guidance.py): ("json", schema) etc.
+    constraint: Optional[tuple] = None
+    # include stop string in output
+    include_stop_str_in_output: bool = False
+
+    def greedy(self) -> bool:
+        return self.temperature <= 1e-5
+
+    @staticmethod
+    def from_dict(d: dict) -> "SamplingParams":
+        names = {f.name for f in dataclasses.fields(SamplingParams)}
+        return SamplingParams(**{k: v for k, v in d.items() if k in names})
+
+
+# ---------------------------------------------------------------------------
+# KV memory planning (reference kvcache_allocator.rs:337-612)
+# ---------------------------------------------------------------------------
+
+_KV_BYTES = {"bfloat16": 2, "float16": 2, "int8": 1, "float8_e4m3fn": 1}
+
+
+def plan_kv_cache(
+    model: ModelConfig,
+    *,
+    hbm_bytes_free: int,
+    block_size: int = 16,
+    kv_dtype: str = "bfloat16",
+    reserve_fraction: float = 0.10,
+    max_num_blocks: int = 0,
+    tp_size: int = 1,
+) -> CacheConfig:
+    """Size the block pool from free device memory.
+
+    The reference allocates *all* remaining memory as KV blocks after model
+    weights, treating scheduler limits as soft (kvcache_allocator.rs:652-668).
+    We do the same minus a reserve fraction for XLA scratch.
+    """
+    kv_heads_local = max(1, model.num_key_value_heads // max(tp_size, 1))
+    bytes_per_slot = 2 * kv_heads_local * model.head_dim_ * _KV_BYTES[kv_dtype]
+    bytes_per_block = bytes_per_slot * block_size * model.num_hidden_layers
+    usable = int(hbm_bytes_free * (1.0 - reserve_fraction))
+    num_blocks = max(usable // bytes_per_block, 16)
+    if max_num_blocks:
+        num_blocks = min(num_blocks, max_num_blocks)
+    return CacheConfig(block_size=block_size, num_blocks=int(num_blocks), kv_dtype=kv_dtype)

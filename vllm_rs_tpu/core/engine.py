@@ -1,0 +1,283 @@
+"""LLM engine: request admission, step loop, streaming delivery.
+
+Counterpart of the reference's LLMEngine (src/core/engine.rs): add_request
+tokenizes + clamps max_tokens + admits into the scheduler (engine.rs:505-685),
+the step loop alternates schedule → run → postprocess (engine.rs:1683-1759),
+and per-request streaming goes through queues (the reference's tokio mpsc
+StreamItem channels, engine.rs:63-70).
+
+jax's async dispatch gives the reference's "server stays responsive during
+forward" property without the engine-lock dance: the host thread returns to
+scheduling while the device is still executing.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Union
+
+from vllm_rs_tpu.config import EngineConfig, SamplingParams
+from vllm_rs_tpu.core.block_manager import BlockManager
+from vllm_rs_tpu.core.runner import ModelRunner
+from vllm_rs_tpu.core.scheduler import Scheduler
+from vllm_rs_tpu.core.sequence import FinishReason, Sequence, SequenceStatus
+from vllm_rs_tpu.utils.detok import IncrementalDetokenizer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class StreamItem:
+    """One streaming event (reference StreamItem, engine.rs:63-70)."""
+
+    seq_id: int
+    token_id: Optional[int] = None
+    text: str = ""
+    finished: bool = False
+    finish_reason: Optional[str] = None
+
+
+@dataclass
+class RequestOutput:
+    seq_id: int
+    prompt_token_ids: List[int] = field(default_factory=list)
+    output_token_ids: List[int] = field(default_factory=list)
+    text: str = ""
+    finish_reason: Optional[str] = None
+    # timing (reference GenerationOutput, core/mod.rs:13-44)
+    ttft_s: Optional[float] = None
+    latency_s: Optional[float] = None
+    cached_tokens: int = 0
+
+
+class _RequestState:
+    def __init__(self, seq: Sequence, detok: Optional[IncrementalDetokenizer]):
+        self.seq = seq
+        self.detok = detok
+        self.text = ""
+        self.stream: "queue.Queue[StreamItem]" = queue.Queue()
+        self.stop_strings = tuple(seq.sampling_params.stop or ())
+
+
+class LLMEngine:
+    def __init__(
+        self,
+        econfig: EngineConfig,
+        runner: ModelRunner,
+        tokenizer=None,
+    ):
+        self.econfig = econfig
+        self.runner = runner
+        self.tokenizer = tokenizer
+        self.block_manager = BlockManager(
+            econfig.cache.num_blocks,
+            econfig.cache.block_size,
+            prefix_cache_enabled=econfig.scheduler.prefix_cache_enabled,
+        )
+        self.scheduler = Scheduler(econfig.scheduler, self.block_manager)
+        self.scheduler.set_eos_token_ids(econfig.model.eos_token_ids)
+        self.requests: Dict[int, _RequestState] = {}
+        self._lock = threading.Lock()
+        self._loop_thread: Optional[threading.Thread] = None
+        self._running = False
+        # usage counters (reference get_usage_stats, engine.rs:1480-1518)
+        self.total_prompt_tokens = 0
+        self.total_output_tokens = 0
+        self.total_cached_tokens = 0
+
+    # ------------------------------------------------------------------
+    # admission (reference add_request, engine.rs:687-810)
+    # ------------------------------------------------------------------
+
+    def add_request(
+        self,
+        prompt: Union[str, List[int]],
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> int:
+        sp = sampling_params or SamplingParams()
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None, "text prompt needs a tokenizer"
+            token_ids = self.tokenizer.encode(prompt)
+            if hasattr(token_ids, "ids"):  # raw `tokenizers` object
+                token_ids = token_ids.ids
+        else:
+            token_ids = list(prompt)
+        if not token_ids:
+            raise ValueError("empty prompt")
+        max_len = self.econfig.scheduler.max_model_len
+        if len(token_ids) >= max_len:
+            raise ValueError(f"prompt ({len(token_ids)} tokens) >= max_model_len {max_len}")
+        # clamp max_tokens to the KV budget (engine.rs:505-685)
+        sp.max_tokens = max(1, min(sp.max_tokens, max_len - len(token_ids)))
+        seq = Sequence(token_ids, sp)
+        detok = (
+            IncrementalDetokenizer(self.tokenizer) if self.tokenizer is not None else None
+        )
+        with self._lock:
+            self.requests[seq.seq_id] = _RequestState(seq, detok)
+            self.scheduler.add(seq)
+            self.total_prompt_tokens += len(token_ids)
+        return seq.seq_id
+
+    def abort_request(self, seq_id: int) -> None:
+        with self._lock:
+            seq = self.scheduler.abort(seq_id)
+            st = self.requests.get(seq_id)
+        if seq is not None and st is not None:
+            st.stream.put(
+                StreamItem(seq_id=seq_id, finished=True, finish_reason="abort")
+            )
+
+    def get_stream(self, seq_id: int) -> "queue.Queue[StreamItem]":
+        return self.requests[seq_id].stream
+
+    # ------------------------------------------------------------------
+    # step loop (reference 3-phase loop, engine.rs:1693-1757)
+    # ------------------------------------------------------------------
+
+    def step(self) -> int:
+        """One engine iteration. Returns number of sequences stepped."""
+        with self._lock:
+            batch = self.scheduler.schedule()
+        if batch.is_empty:
+            return 0
+        tokens = self.runner.run(batch)
+        with self._lock:
+            emitted = self.scheduler.postprocess(batch, tokens)
+            self._deliver(emitted)
+        return len(batch.seqs)
+
+    def _deliver(self, emitted: List[Sequence]) -> None:
+        for seq in emitted:
+            st = self.requests.get(seq.seq_id)
+            if st is None:
+                continue
+            tok = seq.output_token_ids[-1]
+            self.total_output_tokens += 1
+            text = ""
+            if st.detok is not None:
+                text = st.detok.push(tok)
+                st.text += text
+                if not seq.is_finished and st.stop_strings:
+                    hit = self._find_stop_string(st)
+                    if hit is not None:
+                        self.scheduler.finish_seq(seq, FinishReason.STOP)
+                        # trim the emitted text at the stop string
+                        sp = seq.sampling_params
+                        keep = st.text[: hit[1]] if sp.include_stop_str_in_output else st.text[: hit[0]]
+                        text = text[: max(len(keep) - (len(st.text) - len(text)), 0)]
+                        st.text = keep
+            item = StreamItem(seq_id=seq.seq_id, token_id=tok, text=text)
+            if seq.is_finished:
+                if st.detok is not None:
+                    tail = st.detok.flush()
+                    st.text += tail
+                    item.text += tail
+                item.finished = True
+                item.finish_reason = (
+                    seq.finish_reason.value if seq.finish_reason else None
+                )
+            st.stream.put(item)
+
+    @staticmethod
+    def _find_stop_string(st: _RequestState):
+        for s in st.stop_strings:
+            idx = st.text.find(s)
+            if idx != -1:
+                return idx, idx + len(s)
+        return None
+
+    # ------------------------------------------------------------------
+    # blocking + background APIs
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: List[Union[str, List[int]]],
+        sampling_params: Optional[Union[SamplingParams, List[SamplingParams]]] = None,
+    ) -> List[RequestOutput]:
+        """Synchronous batch generation (reference generate_sync,
+        engine.rs:1291)."""
+        if not isinstance(sampling_params, list):
+            sampling_params = [sampling_params] * len(prompts)
+        ids = [self.add_request(p, sp) for p, sp in zip(prompts, sampling_params)]
+        pending = set(ids)
+        while pending:
+            if self.step() == 0 and not self.scheduler.has_work():
+                break
+            for sid in list(pending):
+                if self.requests[sid].seq.is_finished:
+                    pending.discard(sid)
+        return [self._output_of(sid) for sid in ids]
+
+    def _output_of(self, seq_id: int) -> RequestOutput:
+        st = self.requests[seq_id]
+        seq = st.seq
+        ttft = (
+            seq.first_token_time - seq.arrival_time if seq.first_token_time else None
+        )
+        latency = seq.finish_time - seq.arrival_time if seq.finish_time else None
+        return RequestOutput(
+            seq_id=seq_id,
+            prompt_token_ids=list(seq.prompt_token_ids),
+            output_token_ids=list(seq.output_token_ids),
+            text=st.text,
+            finish_reason=seq.finish_reason.value if seq.finish_reason else None,
+            ttft_s=ttft,
+            latency_s=latency,
+            cached_tokens=seq.num_prefix_cached_tokens,
+        )
+
+    def start_loop(self) -> None:
+        """Background engine loop (reference start_engine, engine.rs:1683)."""
+        if self._running:
+            return
+        self._running = True
+
+        def loop():
+            while self._running:
+                try:
+                    if self.step() == 0:
+                        time.sleep(0.005)  # idle (reference sleeps 20ms)
+                except Exception:  # pragma: no cover
+                    logger.exception("engine loop error; cancelling active requests")
+                    with self._lock:
+                        for st in self.requests.values():
+                            if not st.seq.is_finished:
+                                self.scheduler.abort(st.seq.seq_id)
+                                st.stream.put(
+                                    StreamItem(
+                                        seq_id=st.seq.seq_id,
+                                        finished=True,
+                                        finish_reason="error",
+                                    )
+                                )
+
+        self._loop_thread = threading.Thread(target=loop, daemon=True, name="engine-loop")
+        self._loop_thread.start()
+
+    def stop_loop(self) -> None:
+        self._running = False
+        if self._loop_thread is not None:
+            self._loop_thread.join(timeout=5)
+            self._loop_thread = None
+
+    # ------------------------------------------------------------------
+    # stats (reference /v1/usage, engine.rs:1480-1518)
+    # ------------------------------------------------------------------
+
+    def usage_stats(self) -> dict:
+        bm = self.block_manager
+        return {
+            "prompt_tokens": self.total_prompt_tokens,
+            "output_tokens": self.total_output_tokens,
+            "kv_blocks_total": bm.num_blocks,
+            "kv_blocks_free": bm.num_free,
+            "kv_usage_ratio": round(bm.used_ratio, 4),
+            "prefix_cache_blocks": bm.prefix_cache.num_cached_blocks,
+            "active_requests": self.scheduler.num_active,
+        }

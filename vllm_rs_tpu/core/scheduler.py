@@ -1,0 +1,242 @@
+"""Continuous-batching scheduler.
+
+Behavioral transcription of the reference's `src/core/scheduler.rs`:
+- prefill-first admission under a chunk-token budget with prefill/decode
+  interleave fairness (scheduler.rs:250-282)
+- decode batch assembly with per-step block append (scheduler.rs:285-380)
+- chunked prefill: partially prefilled sequences are re-queued at the front
+  of the waiting queue (scheduler.rs:718-785)
+- finish detection: EOS / stop tokens / max_tokens / max_model_len
+  (scheduler.rs:500-629); stop *strings* are detected by the engine at the
+  detokenization layer
+- KV pressure: prefix-cache eviction, then preemption-by-recomputation of
+  the youngest running sequence (the reference swaps to CPU first,
+  scheduler.rs:830-1006; host swap is a later addition here)
+
+A step is either a prefill step or a decode step, never mixed — same as the
+reference. Each kind maps to its own fixed-shape jitted step function.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Deque, List, Optional, Sequence as Seq
+
+from vllm_rs_tpu.config import SchedulerConfig
+from vllm_rs_tpu.core.block_manager import BlockManager
+from vllm_rs_tpu.core.sequence import FinishReason, Sequence, SequenceStatus
+
+
+@dataclass
+class ScheduledBatch:
+    """One step's work: which sequences run and how many tokens each."""
+
+    kind: str  # "prefill" | "decode"
+    seqs: List[Sequence] = field(default_factory=list)
+    # prefill only: tokens processed this step per sequence (chunk lengths);
+    # chunk start is seq.num_cached_tokens at schedule time
+    chunk_sizes: List[int] = field(default_factory=list)
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.seqs
+
+    @property
+    def num_tokens(self) -> int:
+        if self.kind == "prefill":
+            return sum(self.chunk_sizes)
+        return len(self.seqs)
+
+
+class Scheduler:
+    def __init__(self, config: SchedulerConfig, block_manager: BlockManager):
+        self.config = config
+        self.bm = block_manager
+        self.waiting: Deque[Sequence] = deque()
+        self.running: List[Sequence] = []
+        self._consecutive_prefills = 0
+
+    # -- admission -----------------------------------------------------------
+
+    def add(self, seq: Sequence) -> None:
+        seq.status = SequenceStatus.WAITING
+        self.waiting.append(seq)
+
+    def abort(self, seq_id: int) -> Optional[Sequence]:
+        for q in (self.waiting, self.running):
+            for s in list(q):
+                if s.seq_id == seq_id:
+                    q.remove(s)
+                    if s.block_table:
+                        self.bm.free_seq(s, cache=False)
+                    s.finish(FinishReason.ABORT)
+                    return s
+        return None
+
+    @property
+    def num_active(self) -> int:
+        return len(self.waiting) + len(self.running)
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    # -- scheduling ----------------------------------------------------------
+
+    def schedule(self) -> ScheduledBatch:
+        self._relieve_prefix_pressure()
+        want_prefill = bool(self.waiting) and (
+            not self.running
+            or self._consecutive_prefills < self.config.max_consecutive_prefills
+        )
+        if want_prefill:
+            batch = self._schedule_prefill()
+            if not batch.is_empty:
+                self._consecutive_prefills += 1
+                return batch
+        self._consecutive_prefills = 0
+        return self._schedule_decode()
+
+    def _schedule_prefill(self) -> ScheduledBatch:
+        """Pack prefill chunks into one padded [rows, T] step.
+
+        The head-of-queue sequence picks the tier T (smallest bucket holding
+        its chunk, capped at chunk_size); follower sequences join only if
+        their chunk fits the same tier, until rows * T reaches ~chunk_size.
+        Long prefills therefore run solo (classic chunked prefill); bursts of
+        short prompts batch together (throughput path).
+        """
+        batch = ScheduledBatch(kind="prefill")
+        cfg = self.config
+        capacity = max(cfg.max_num_seqs - len(self.running), 1)
+        skipped: List[Sequence] = []
+        tier = 0
+        max_rows = 1
+        while self.waiting and len(batch.seqs) < capacity:
+            seq = self.waiting.popleft()
+            if not seq.block_table:
+                if not self.bm.allocate_prompt(seq):
+                    skipped.append(seq)
+                    break  # FCFS: don't admit younger work past a blocked head
+            if tier == 0:
+                chunk = min(seq.num_prefill_remaining, cfg.chunk_size)
+                tier = next(
+                    (b for b in cfg.prefill_buckets if chunk <= b),
+                    cfg.prefill_buckets[-1],
+                )
+                max_rows = max(1, min(capacity, cfg.chunk_size // tier))
+            else:
+                if seq.num_prefill_remaining > tier or len(batch.seqs) >= max_rows:
+                    skipped.append(seq)
+                    break
+                chunk = seq.num_prefill_remaining
+            if seq.first_scheduled_time is None:
+                import time
+
+                seq.first_scheduled_time = time.time()
+            batch.seqs.append(seq)
+            batch.chunk_sizes.append(chunk)
+        for seq in reversed(skipped):
+            self.waiting.appendleft(seq)
+        return batch
+
+    def _schedule_decode(self) -> ScheduledBatch:
+        batch = ScheduledBatch(kind="decode")
+        if not self.running:
+            return batch
+        # ensure every running seq has a slot for this step; preempt youngest
+        # sequences (recompute) when the pool is exhausted
+        survivors: List[Sequence] = []
+        for seq in self.running:
+            survivors.append(seq)
+        i = 0
+        while i < len(survivors):
+            seq = survivors[i]
+            if self.bm.append_slot(seq):
+                i += 1
+                continue
+            # out of blocks: preempt the youngest running sequence
+            victim = survivors[-1]
+            self._preempt(victim)
+            survivors.pop()
+            if victim is seq:
+                break
+        self.running = survivors
+        batch.seqs = list(self.running)
+        return batch
+
+    def _preempt(self, seq: Sequence) -> None:
+        self.bm.free_seq(seq, cache=False)
+        seq.reset_for_recompute()
+        self.waiting.appendleft(seq)
+
+    def _relieve_prefix_pressure(self) -> None:
+        cfg = self.config
+        if (
+            cfg.prefix_cache_enabled
+            and self.bm.prefix_cache_ratio() > cfg.prefix_cache_max_ratio
+        ):
+            self.bm.evict_prefix_cache_to(cfg.prefix_cache_evict_to_ratio)
+
+    # -- postprocessing (reference scheduler.rs:500-629) ----------------------
+
+    def postprocess(self, batch: ScheduledBatch, token_ids: Seq[int]) -> List[Sequence]:
+        """Apply sampled tokens, detect finishes. Returns sequences that
+        produced a *new visible token* this step (for streaming)."""
+        emitted: List[Sequence] = []
+        if batch.kind == "prefill":
+            for seq, chunk, tok in zip(batch.seqs, batch.chunk_sizes, token_ids):
+                seq.num_cached_tokens += chunk
+                if seq.prefill_done:
+                    import time
+
+                    if seq.first_token_time is None:
+                        seq.first_token_time = time.time()
+                    self.bm.cache_prompt(seq)
+                    seq.status = SequenceStatus.RUNNING
+                    self.running.append(seq)
+                    seq.append_token(int(tok))
+                    self._check_finish(seq)
+                    emitted.append(seq)
+                else:
+                    self.waiting.appendleft(seq)
+        else:
+            for seq, tok in zip(batch.seqs, token_ids):
+                seq.append_token(int(tok))
+                self._check_finish(seq)
+                emitted.append(seq)
+        self.running = [s for s in self.running if not s.is_finished]
+        return emitted
+
+    def finish_seq(self, seq: Sequence, reason: FinishReason) -> None:
+        """External finish (e.g. engine-level stop-string match)."""
+        if seq.is_finished:
+            return
+        self.bm.free_seq(seq, cache=True)
+        seq.finish(reason)
+        if seq in self.running:
+            self.running.remove(seq)
+
+    def _check_finish(self, seq: Sequence) -> None:
+        sp = seq.sampling_params
+        last = seq.output_token_ids[-1]
+        finished = None
+        if not sp.ignore_eos and (
+            last in sp.stop_token_ids or self._is_eos(seq, last)
+        ):
+            finished = FinishReason.STOP
+        elif len(seq.output_token_ids) >= sp.max_tokens:
+            finished = FinishReason.LENGTH
+        elif seq.num_tokens >= self.config.max_model_len:
+            finished = FinishReason.LENGTH
+        if finished is not None:
+            self.bm.free_seq(seq, cache=True)
+            seq.finish(finished)
+
+    def _is_eos(self, seq: Sequence, token: int) -> bool:
+        return token in getattr(seq, "eos_token_ids", ()) or token in self._eos_ids
+
+    _eos_ids: tuple = ()
+
+    def set_eos_token_ids(self, ids) -> None:
+        self._eos_ids = tuple(ids)

@@ -1,0 +1,32 @@
+"""Model implementations.
+
+Each architecture is a thin configuration of the shared functional layer
+library (models/layers.py), mirroring how the reference's 16 architectures
+share src/models/layers/ (SURVEY.md §2.3/2.4). Registry maps HF
+`model_type` strings to model classes.
+"""
+
+from typing import Dict, Type
+
+_REGISTRY: Dict[str, str] = {}
+
+
+def register(model_type: str, cls_path: str) -> None:
+    _REGISTRY[model_type] = cls_path
+
+
+def get_model_class(model_type: str):
+    import importlib
+
+    # llama-family architectures share one implementation
+    path = _REGISTRY.get(model_type)
+    if path is None:
+        raise ValueError(f"unsupported model_type {model_type!r}; known: {sorted(_REGISTRY)}")
+    mod_name, cls_name = path.rsplit(":", 1)
+    return getattr(importlib.import_module(mod_name), cls_name)
+
+
+for _mt in ("llama", "mistral", "yi", "stablelm", "qwen2", "qwen3", "gemma", "gemma2", "gemma3", "gemma3_text", "phi3", "glm4"):
+    register(_mt, "vllm_rs_tpu.models.llama:CausalLM")
+for _mt in ("qwen2_moe", "qwen3_moe", "mixtral"):
+    register(_mt, "vllm_rs_tpu.models.moe:MoeCausalLM")

@@ -1,0 +1,136 @@
+"""Shared functional layer library.
+
+Counterpart of the reference's src/models/layers/ (attention.rs, mlp.rs,
+linear.rs, rotary_emb.rs, others.rs — SURVEY.md §2.4), as pure functions
+over parameter pytrees. Per-layer parameters are *stacked* along a leading
+layer axis and the trunk runs under `jax.lax.scan`, which keeps compile
+time flat in depth — the TPU-idiomatic replacement for the reference's
+per-layer Rust loop.
+
+Linear parameters are either a plain array [K, N] (y = x @ W), a
+`Linear(w, b)` NamedTuple, or a `QuantizedTensor` — dispatch happens at
+trace time on the pytree node type (the analogue of LinearX's quant
+dispatch, linear.rs:519-619).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from vllm_rs_tpu.config import ModelConfig
+from vllm_rs_tpu.ops.attention import paged_attention
+from vllm_rs_tpu.ops.attn_meta import AttnMeta
+from vllm_rs_tpu.ops.quant_matmul import quant_matmul
+from vllm_rs_tpu.ops.rope import apply_rope
+from vllm_rs_tpu.quant.pack import QuantizedTensor
+
+
+class Linear(NamedTuple):
+    w: Union[jax.Array, QuantizedTensor]
+    b: Optional[jax.Array] = None
+
+
+def linear(p, x: jax.Array) -> jax.Array:
+    """Apply a (possibly quantized, possibly biased) linear layer."""
+    b = None
+    if isinstance(p, Linear):
+        p, b = p.w, p.b
+    if isinstance(p, QuantizedTensor):
+        y = quant_matmul(x, p)
+    else:
+        y = jnp.dot(x, p.astype(x.dtype), preferred_element_type=jnp.float32).astype(
+            x.dtype
+        )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float, plus_one: bool = False) -> jax.Array:
+    """RMSNorm with f32 accumulation; plus_one → gemma (1 + w) semantics
+    (reference others.rs NormX / attention.rs:440-443)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = xf * jax.lax.rsqrt(var + eps)
+    wf = w.astype(jnp.float32)
+    if plus_one:
+        wf = wf + 1.0
+    return (xn * wf).astype(x.dtype)
+
+
+def silu_and_mul(gate: jax.Array, up: jax.Array) -> jax.Array:
+    return jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+
+
+_ACT = {
+    "silu": silu_and_mul,
+    "gelu": lambda g, u: jax.nn.gelu(g.astype(jnp.float32), approximate=False).astype(g.dtype) * u,
+    "gelu_pytorch_tanh": lambda g, u: jax.nn.gelu(g.astype(jnp.float32), approximate=True).astype(g.dtype) * u,
+}
+
+
+def mlp(lp: dict, h: jax.Array, act: str = "silu") -> jax.Array:
+    """Gated MLP: down(act(gate(h)) * up(h)) (reference mlp.rs)."""
+    gate = linear(lp["gate"], h)
+    up = linear(lp["up"], h)
+    return linear(lp["down"], _ACT[act](gate, up))
+
+
+def attention_block(
+    lp: dict,
+    h: jax.Array,  # [B, T, D]
+    meta: AttnMeta,
+    k_cache: jax.Array,  # [S, Hk, Dh]
+    v_cache: jax.Array,
+    config: ModelConfig,
+    *,
+    block_size: int,
+    scale: float,
+    sliding_window: int = 0,
+    attn_backend: str = "auto",
+):
+    """Unified GQA attention (reference attention.rs Attention::forward_ext):
+    qkv proj → optional per-head q/k RMSNorm (qwen3) → RoPE → paged attention
+    (KV write + attend) → o proj. Returns (attn_out [B,T,D], k_cache, v_cache).
+    """
+    B, T, _ = h.shape
+    Hq = config.num_attention_heads
+    Hk = config.num_key_value_heads
+    Dh = config.head_dim_
+
+    q = linear(lp["q"], h).reshape(B, T, Hq, Dh)
+    k = linear(lp["k"], h).reshape(B, T, Hk, Dh)
+    v = linear(lp["v"], h).reshape(B, T, Hk, Dh)
+
+    if config.qk_norm:
+        q = rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.norm_plus_one)
+        k = rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.norm_plus_one)
+
+    q, k = apply_rope(q, k, meta.positions, lp["inv_freq"], config.rotary_dim)
+
+    out, k_cache, v_cache = paged_attention(
+        q,
+        k,
+        v,
+        k_cache,
+        v_cache,
+        meta,
+        block_size=block_size,
+        scale=scale,
+        logit_softcap=config.attn_logit_softcap,
+        sliding_window=sliding_window,
+        backend=attn_backend,
+    )
+    o = linear(lp["o"], out.reshape(B, T, Hq * Dh))
+    return o, k_cache, v_cache
+
+
+def gather_last_hidden(hidden: jax.Array, meta: AttnMeta) -> jax.Array:
+    """Gather each row's last real token's hidden state: [B, T, D] → [B, D]
+    (reference llama.rs:306-310 last-token gather before lm_head)."""
+    B = hidden.shape[0]
+    idx = jnp.clip(meta.last_token_idx, 0, hidden.shape[1] - 1)
+    return hidden[jnp.arange(B), idx]

@@ -1,0 +1,185 @@
+"""Llama-family causal LM.
+
+One implementation covers the reference's llama.rs (Llama2/3, Mistral, Yi,
+StableLM), qwen3.rs (Qwen2/Qwen3 dense — qkv bias / per-head q-k RMSNorm),
+phi4.rs (partial rotary), and glm4.rs — the differences are pure
+configuration (SURVEY.md §2.3). Canonical template: embed → N × (attn + MLP)
+→ final norm → last-token gather → lm_head (reference llama.rs:306-310).
+
+The trunk is a `lax.scan` over stacked per-layer parameters; the KV cache
+[L, 2, S, Hk, Dh] is threaded through the scan as xs/ys so each step
+returns the fully updated pool (donated by the runner's jit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_rs_tpu.config import ModelConfig
+from vllm_rs_tpu.models.layers import (
+    Linear,
+    attention_block,
+    gather_last_hidden,
+    linear,
+    mlp,
+    rms_norm,
+)
+from vllm_rs_tpu.ops.attn_meta import AttnMeta
+from vllm_rs_tpu.ops.rope import rope_inv_freq, yarn_attn_scale
+from vllm_rs_tpu.quant.pack import quantize_param
+
+
+class CausalLM:
+    """Dense decoder-only LM over the shared layer library."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        block_size: int = 16,
+        attn_backend: str = "auto",
+        matmul_backend: str = "auto",
+    ):
+        self.config = config
+        self.block_size = block_size
+        self.attn_backend = attn_backend
+        self.matmul_backend = matmul_backend
+        self.scale = config.head_dim_ ** -0.5 * yarn_attn_scale(config)
+        qpa = config.extra_get("query_pre_attn_scalar")
+        if qpa:  # gemma family
+            self.scale = float(qpa) ** -0.5
+
+    # ------------------------------------------------------------------
+    # parameters
+    # ------------------------------------------------------------------
+
+    def _quantize(self, w, quant, group):
+        if quant is None:
+            return w
+        # vmap over the stacked layer axis when present
+        if w.ndim == 3:
+            return jax.vmap(lambda x: quantize_param(x, quant, group))(w)
+        return quantize_param(w, quant, group)
+
+    def init_params(
+        self,
+        key: jax.Array,
+        quant: Optional[str] = None,
+        quant_group: int = 128,
+        dtype=jnp.bfloat16,
+    ) -> dict:
+        """Random initialization (tests and synthetic benchmarks).
+
+        Real checkpoints are loaded via utils/loader.py into the identical
+        pytree structure.
+        """
+        cfg = self.config
+        D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+        L = cfg.num_hidden_layers
+        Hq, Hk, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+        keys = iter(jax.random.split(key, 16))
+
+        def w(k, shape, q=True):
+            x = (jax.random.normal(k, shape, dtype=jnp.float32) * 0.02).astype(dtype)
+            return self._quantize(x, quant if q else None, quant_group)
+
+        layers = {
+            "input_ln": jnp.ones((L, D), dtype=dtype),
+            "post_ln": jnp.ones((L, D), dtype=dtype),
+            "q": w(next(keys), (L, D, Hq * Dh)),
+            "k": w(next(keys), (L, D, Hk * Dh)),
+            "v": w(next(keys), (L, D, Hk * Dh)),
+            "o": w(next(keys), (L, Hq * Dh, D)),
+            "gate": w(next(keys), (L, D, I)),
+            "up": w(next(keys), (L, D, I)),
+            "down": w(next(keys), (L, I, D)),
+            "inv_freq": jnp.broadcast_to(
+                rope_inv_freq(cfg)[None, :], (L, cfg.rotary_dim // 2)
+            ),
+        }
+        if cfg.attention_bias:
+            for name, n in (("q", Hq * Dh), ("k", Hk * Dh), ("v", Hk * Dh)):
+                layers[name] = Linear(layers[name], jnp.zeros((L, n), dtype=dtype))
+        if cfg.qk_norm:
+            layers["q_norm"] = jnp.ones((L, Dh), dtype=dtype)
+            layers["k_norm"] = jnp.ones((L, Dh), dtype=dtype)
+        params = {
+            "embed": (jax.random.normal(next(keys), (V, D), dtype=jnp.float32) * 0.02).astype(dtype),
+            "layers": layers,
+            "final_norm": jnp.ones((D,), dtype=dtype),
+        }
+        if not cfg.tie_word_embeddings:
+            # lm_head is read every decode step: quantize it too (int8 keeps
+            # sampling numerics tight; GGUF similarly uses a higher-bit head)
+            head_q = "int8" if quant is not None else None
+            params["lm_head"] = self._quantize(
+                (jax.random.normal(next(keys), (D, V), dtype=jnp.float32) * 0.02).astype(dtype),
+                head_q,
+                quant_group,
+            )
+        return params
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+
+    def forward(self, params: dict, token_ids: jax.Array, meta: AttnMeta, kv: jax.Array):
+        """token_ids [B, T] → (updated kv [L,2,S,Hk,Dh], hidden [B,T,D])."""
+        cfg = self.config
+        h = params["embed"][token_ids].astype(jnp.bfloat16)
+        if cfg.embed_scale != 1.0:
+            h = h * jnp.asarray(cfg.embed_scale, dtype=h.dtype)
+
+        def layer_fn(h, xs):
+            lp, kv_l = xs
+            attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
+            attn_out, k_c, v_c = attention_block(
+                lp,
+                attn_in,
+                meta,
+                kv_l[0],
+                kv_l[1],
+                cfg,
+                block_size=self.block_size,
+                scale=self.scale,
+                sliding_window=cfg.sliding_window,
+                attn_backend=self.attn_backend,
+            )
+            h = h + attn_out
+            mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
+            h = h + mlp(
+                {"gate": lp["gate"], "up": lp["up"], "down": lp["down"]},
+                mlp_in,
+                cfg.hidden_act,
+            )
+            return h, jnp.stack([k_c, v_c])
+
+        h, kv = jax.lax.scan(layer_fn, h, (params["layers"], kv))
+        return kv, h
+
+    def compute_logits(self, params: dict, hidden: jax.Array, meta: AttnMeta) -> jax.Array:
+        """[B, T, D] hidden → [B, vocab] float32 logits at last real tokens."""
+        cfg = self.config
+        last = gather_last_hidden(hidden, meta)
+        last = rms_norm(last, params["final_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
+        if cfg.tie_word_embeddings:
+            logits = jnp.dot(
+                last, params["embed"].T.astype(last.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = linear(params["lm_head"], last)
+        logits = logits.astype(jnp.float32)
+        if cfg.final_logit_softcap > 0.0:
+            c = cfg.final_logit_softcap
+            logits = jnp.tanh(logits / c) * c
+        return logits
+
+    def step(self, params: dict, token_ids: jax.Array, meta: AttnMeta, kv: jax.Array):
+        """Full forward + logits — the jittable unit the runner compiles."""
+        kv, hidden = self.forward(params, token_ids, meta, kv)
+        logits = self.compute_logits(params, hidden, meta)
+        return kv, logits

@@ -1,0 +1,35 @@
+"""Fixed-shape batch descriptor consumed by the jitted step functions.
+
+TPU-first replacement for the reference's InputMetadata/FlashInferMetadata
+(attention-rs) and its per-step host planning (core/runner.rs:978-1388):
+instead of ragged cu_seqlens + indptr/indices planning, every step is a
+dense padded [B, T] batch —
+  - decode:  T == 1, B = decode bucket size
+  - prefill: T == token bucket, B = number of prefill chunks in the step
+Padding conventions:
+  - token_ids / positions: pad 0 (masked out via slot sentinel + context_lens)
+  - slot_mapping: pad == num_slots (out-of-bounds → scatter mode='drop')
+  - block_tables: pad 0 (reads are masked by context_lens)
+  - context_lens: 0 for inactive rows (attention output is garbage, never read)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AttnMeta(NamedTuple):
+    # absolute position of each query token, [B, T] int32
+    positions: jax.Array
+    # flat KV slot (block_id * block_size + offset) each query token writes,
+    # [B, T] int32; padding = num_slots (dropped by scatter)
+    slot_mapping: jax.Array
+    # per-seq block table, [B, max_blocks] int32, padded with 0
+    block_tables: jax.Array
+    # KV length of each sequence *including* this step's new tokens, [B] int32
+    context_lens: jax.Array
+    # index of the last real query token per row (for logit gather), [B] int32
+    last_token_idx: jax.Array

@@ -1,0 +1,83 @@
+"""Parameter and KV-cache shardings (tensor parallelism).
+
+The TP plan mirrors the reference's distributed.rs wrappers:
+- q/k/v, gate/up: column-parallel — shard the output dim
+  (TensorParallelColumnLinear, distributed.rs:54)
+- o, down: row-parallel — shard the input dim; XLA inserts the all-reduce
+  the reference issues manually (distributed.rs:300, 438-455)
+- KV cache: kv-head axis sharded (kv_head_shard, distributed.rs:498-538)
+- norms, embedding, lm_head: replicated (llama.rs:226-245)
+
+Quantized tensors shard qweight/scales/zeros with the same logical spec
+(group axis K//G follows K).
+
+GSPMD guarantees correctness regardless of these hints; they exist to pin
+the *fast* layout so collectives ride ICI exactly once per o/down proj.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# module name → (dense weight spec, bias spec) for stacked [L, K, N] weights
+_COL = (P(None, None, "model"), P(None, "model"))
+_ROW = (P(None, "model", None), P(None))
+_PLANS = {
+    "q": _COL,
+    "k": _COL,
+    "v": _COL,
+    "gate": _COL,
+    "up": _COL,
+    "o": _ROW,
+    "down": _ROW,
+}
+
+
+def _leaf_name(path) -> str:
+    """Innermost dict key along a tree path."""
+    names = [p.key for p in path if isinstance(p, jax.tree_util.DictKey)]
+    return names[-1] if names else ""
+
+
+def _field_name(path) -> str:
+    last = path[-1]
+    if hasattr(last, "name"):
+        return last.name
+    if hasattr(last, "idx"):
+        return str(last.idx)
+    return ""
+
+
+def param_spec(path, leaf) -> P:
+    name = _leaf_name(path)
+    plan = _PLANS.get(name)
+    if plan is None:
+        return P()  # replicated: norms, embed, lm_head, inv_freq
+    wspec, bspec = plan
+    field = _field_name(path)
+    # NamedTuple fields: Linear(w, b) / QuantizedTensor(qweight, scales, zeros)
+    if field in ("b", "1") and leaf.ndim == 2:
+        return bspec
+    if leaf.ndim == 3:
+        return wspec  # dense w, qweight, or [L, K//G, N] scales/zeros
+    if leaf.ndim == 2:
+        return P(wspec[1], wspec[2])  # unstacked single-layer weight
+    return P()
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    def place(path, leaf):
+        spec = param_spec(path, leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+KV_SPEC = P(None, None, None, "model", None)  # [L, 2, slots, kv_heads, head_dim]
+
+
+def shard_kv_cache(kv: jax.Array, mesh: Mesh) -> jax.Array:
+    return jax.device_put(kv, NamedSharding(mesh, KV_SPEC))
