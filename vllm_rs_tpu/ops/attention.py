@@ -27,8 +27,8 @@ _NEG_INF = -1e30
 
 def paged_attention_reference(
     q: jax.Array,  # [B, T, Hq, D]
-    k_cache: jax.Array,  # [S, Hk, D] (already contains this step's writes)
-    v_cache: jax.Array,  # [S, Hk, D]
+    k_cache: jax.Array,  # [Hk, S, D] (already contains this step's writes)
+    v_cache: jax.Array,  # [Hk, S, D]
     meta: AttnMeta,
     *,
     block_size: int,
@@ -38,7 +38,7 @@ def paged_attention_reference(
 ) -> jax.Array:
     """Gather-based paged attention. Returns [B, T, Hq, D] in q.dtype."""
     B, T, Hq, D = q.shape
-    Hk = k_cache.shape[1]
+    Hk = k_cache.shape[0]
     groups = Hq // Hk
 
     k = gather_pages(k_cache, meta.block_tables, block_size)  # [B, C, Hk, D]
@@ -72,7 +72,7 @@ def paged_attention(
     q: jax.Array,
     k_new: jax.Array,  # [B, T, Hk, D]
     v_new: jax.Array,
-    k_cache: jax.Array,  # [S, Hk, D]
+    k_cache: jax.Array,  # [Hk, S, D]
     v_cache: jax.Array,
     meta: AttnMeta,
     *,

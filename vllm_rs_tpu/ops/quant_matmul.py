@@ -12,17 +12,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vllm_rs_tpu.quant.pack import QuantizedTensor, dequantize
+from vllm_rs_tpu.quant.pack import AnyQuantTensor, dequantize
 
 
-def quant_matmul_reference(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
+def quant_matmul_reference(x: jax.Array, qt: AnyQuantTensor) -> jax.Array:
     w = dequantize(qt, dtype=jnp.bfloat16)
     return jnp.dot(
         x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     ).astype(x.dtype)
 
 
-def quant_matmul(x: jax.Array, qt: QuantizedTensor, backend: str = "auto") -> jax.Array:
+def quant_matmul(x: jax.Array, qt: AnyQuantTensor, backend: str = "auto") -> jax.Array:
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "reference"
     if backend == "pallas":

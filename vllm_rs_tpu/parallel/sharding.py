@@ -76,8 +76,15 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-KV_SPEC = P(None, None, None, "model", None)  # [L, 2, slots, kv_heads, head_dim]
+def kv_spec(num_kv_heads: int, mesh: Mesh) -> P:
+    """Shard the kv-head axis (dim 2 of [L, 2, Hk, S, D]) when divisible by
+    the model axis; otherwise replicate (kv_heads < world_size case,
+    distributed.rs:498-538)."""
+    tp = mesh.shape.get("model", 1)
+    if tp > 1 and num_kv_heads % tp == 0:
+        return P(None, None, "model", None, None)
+    return P()
 
 
 def shard_kv_cache(kv: jax.Array, mesh: Mesh) -> jax.Array:
-    return jax.device_put(kv, NamedSharding(mesh, KV_SPEC))
+    return jax.device_put(kv, NamedSharding(mesh, kv_spec(kv.shape[2], mesh)))

@@ -11,8 +11,11 @@ only ever see canonical layouts.
 """
 
 from vllm_rs_tpu.quant.pack import (  # noqa: F401
+    PackedInt4Tensor,
     QuantizedTensor,
     dequantize,
+    pack_int4,
     quantize_int4,
     quantize_int8,
+    unpack_int4,
 )
