@@ -67,7 +67,7 @@ def test_top_p_one_is_noop_support():
 
 def test_repetition_penalty_suppresses_history():
     V = 16
-    logits = jnp.zeros((1, V), jnp.float32).at[0, 5].set(1.0)
+    logits = jnp.full((1, V), 0.5, jnp.float32).at[0, 5].set(1.0)
     history = jnp.full((1, HISTORY_WINDOW), V, jnp.int32).at[0, 0].set(5)
     st = make_state(
         1,
