@@ -1,0 +1,91 @@
+"""Pallas paged-attention decode kernel vs the jnp reference (interpret
+mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_rs_tpu.ops.attn_meta import AttnMeta
+from vllm_rs_tpu.ops.pallas.paged_attention import paged_attention_decode_pallas
+from vllm_rs_tpu.ops.attention import paged_attention_reference
+
+
+def build_case(
+    B=4, Hq=8, Hk=4, D=128, block_size=16, MB=8, seed=0, ctx_lens=None
+):
+    rs = np.random.RandomState(seed)
+    S = block_size * (B * MB + 1)
+    k_cache = jnp.asarray(rs.randn(S, Hk * D), jnp.float32).astype(jnp.bfloat16)
+    v_cache = jnp.asarray(rs.randn(S, Hk * D), jnp.float32).astype(jnp.bfloat16)
+    q = jnp.asarray(rs.randn(B, 1, Hq, D), jnp.float32).astype(jnp.bfloat16)
+    if ctx_lens is None:
+        ctx_lens = rs.randint(1, MB * block_size, size=B)
+    ctx_lens = np.asarray(ctx_lens, np.int32)
+    # distinct blocks per sequence
+    bt = np.arange(B * MB, dtype=np.int32).reshape(B, MB) + 1
+    positions = (ctx_lens - 1).reshape(B, 1).astype(np.int32)
+    meta = AttnMeta(
+        positions=jnp.asarray(positions),
+        slot_mapping=jnp.full((B, 1), S, jnp.int32),
+        block_tables=jnp.asarray(bt),
+        context_lens=jnp.asarray(ctx_lens),
+        last_token_idx=jnp.zeros((B,), jnp.int32),
+    )
+    return q, k_cache, v_cache, meta
+
+
+@pytest.mark.parametrize("ctx", [[1, 5, 37, 128], [16, 32, 64, 100]])
+def test_decode_matches_reference(ctx):
+    q, k, v, meta = build_case(ctx_lens=ctx)
+    ref = paged_attention_reference(q, k, v, meta, block_size=16, scale=0.088)
+    got = paged_attention_decode_pallas(
+        q, k, v, meta, block_size=16, scale=0.088, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_decode_with_softcap():
+    q, k, v, meta = build_case(seed=1)
+    kw = dict(block_size=16, scale=0.088, logit_softcap=30.0)
+    ref = paged_attention_reference(q, k, v, meta, **kw)
+    got = paged_attention_decode_pallas(q, k, v, meta, interpret=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_decode_sliding_window():
+    q, k, v, meta = build_case(seed=2, ctx_lens=[100, 40, 7, 128])
+    kw = dict(block_size=16, scale=0.088, sliding_window=32)
+    ref = paged_attention_reference(q, k, v, meta, **kw)
+    got = paged_attention_decode_pallas(q, k, v, meta, interpret=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_decode_mha_group1():
+    q, k, v, meta = build_case(Hq=4, Hk=4, seed=3)
+    ref = paged_attention_reference(q, k, v, meta, block_size=16, scale=0.1)
+    got = paged_attention_decode_pallas(
+        q, k, v, meta, block_size=16, scale=0.1, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_decode_padding_rows_dont_crash():
+    q, k, v, meta = build_case(ctx_lens=[64, 0, 0, 0])  # 3 padded rows
+    got = paged_attention_decode_pallas(
+        q, k, v, meta, block_size=16, scale=0.1, interpret=True
+    )
+    ref = paged_attention_reference(q, k, v, meta, block_size=16, scale=0.1)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[:1], np.asarray(ref, np.float32)[:1],
+        rtol=3e-2, atol=3e-2,
+    )
+    assert np.isfinite(np.asarray(got, np.float32)[:1]).all()

@@ -27,8 +27,8 @@ _NEG_INF = -1e30
 
 def paged_attention_reference(
     q: jax.Array,  # [B, T, Hq, D]
-    k_cache: jax.Array,  # [Hk, S, D] (already contains this step's writes)
-    v_cache: jax.Array,  # [Hk, S, D]
+    k_cache: jax.Array,  # [S, Hk*D] (already contains this step's writes)
+    v_cache: jax.Array,  # [S, Hk*D]
     meta: AttnMeta,
     *,
     block_size: int,
@@ -38,11 +38,11 @@ def paged_attention_reference(
 ) -> jax.Array:
     """Gather-based paged attention. Returns [B, T, Hq, D] in q.dtype."""
     B, T, Hq, D = q.shape
-    Hk = k_cache.shape[0]
+    Hk = k_cache.shape[1] // D
     groups = Hq // Hk
 
-    k = gather_pages(k_cache, meta.block_tables, block_size)  # [B, C, Hk, D]
-    v = gather_pages(v_cache, meta.block_tables, block_size)
+    k = gather_pages(k_cache, meta.block_tables, block_size, Hk)  # [B, C, Hk, D]
+    v = gather_pages(v_cache, meta.block_tables, block_size, Hk)
     C = k.shape[1]
 
     qf = q.astype(jnp.float32) * scale
@@ -72,7 +72,7 @@ def paged_attention(
     q: jax.Array,
     k_new: jax.Array,  # [B, T, Hk, D]
     v_new: jax.Array,
-    k_cache: jax.Array,  # [Hk, S, D]
+    k_cache: jax.Array,  # [S, Hk*D]
     v_cache: jax.Array,
     meta: AttnMeta,
     *,

@@ -1,0 +1,296 @@
+"""Paged attention decode kernel (flash-decoding over block tables).
+
+TPU counterpart of the reference's paged-attention decode kernels
+(attention-rs; call site src/models/layers/attention.rs:607-616). One
+query token per sequence attends over its block table:
+
+- grid (B, ceil(MB / P)); each step DMAs P pages of K and P of V. The KV
+  cache is slot-major ([S, Hk, D]) so one page is ONE fully contiguous
+  descriptor of block_size*Hk*D*2 bytes — per-DMA overhead dominates small
+  transfers on v5e, so descriptor size is the first-order perf knob.
+- pages arrive as [bs, Hk*D]; a kv head is a lane-aligned column slice
+  (D = 128 = one lane tile), so per-head views cost no relayout.
+- online softmax (m, l, acc) carried in VMEM scratch across the page
+  dimension, per kv head; pages past context_len are clamped to the last
+  valid page so the pipeline elides duplicate fetches, and their scores
+  are masked.
+- GQA: q arrives as [B, Hk, G, D] (G = Hq // Hk query heads per kv head).
+
+Supports logit softcap (gemma) and sliding windows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_rs_tpu.ops.attn_meta import AttnMeta
+
+_NEG_INF = -1e30
+
+
+def _decode_kernel(
+    # scalar prefetch
+    bt_ref,  # [B, MB] int32 block tables
+    cl_ref,  # [B] int32 context lens
+    # tensors
+    q_ref,  # [1, Hk, G, D]
+    *refs,  # P k-page refs, P v-page refs ([bs, Hk*D]), out, m, l, acc
+    pages_per_step: int,
+    block_size: int,
+    scale: float,
+    logit_softcap: float,
+    sliding_window: int,
+    num_steps: int,
+    num_kv_heads: int,
+    head_dim: int,
+):
+    P = pages_per_step
+    k_refs = refs[:P]
+    v_refs = refs[P : 2 * P]
+    out_ref = refs[2 * P]
+    m_ref, l_ref, acc_ref = refs[2 * P + 1 :]
+
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    ctx = cl_ref[b]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    base = j * P * block_size
+    valid_step = base < ctx
+    if sliding_window > 0:
+        valid_step = jnp.logical_and(
+            valid_step, base + P * block_size > ctx - sliding_window
+        )
+
+    @pl.when(valid_step)
+    def _():
+        D = head_dim
+        Hk = num_kv_heads
+        # [P*bs, Hk*D] — sublane concat of contiguous pages (measured cheap)
+        kc = jnp.concatenate([k_refs[t][...] for t in range(P)], axis=0)
+        vc = jnp.concatenate([v_refs[t][...] for t in range(P)], axis=0)
+        G = q_ref.shape[2]
+        # per-head MXU dots (cheap), then ONE wide softmax update — the
+        # per-head-loop version spent ~8x on small-vector op overhead
+        score_rows = []
+        for h in range(Hk):
+            q = q_ref[0, h].astype(jnp.bfloat16)  # [G, D]
+            k_h = kc[:, h * D : (h + 1) * D]  # lane-aligned slice, [P*bs, D]
+            score_rows.append(
+                jax.lax.dot_general(
+                    q,
+                    k_h.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        scores = jnp.concatenate(score_rows, axis=0) * scale  # [Hk*G, P*bs]
+        if logit_softcap > 0.0:
+            scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+        kpos = base + jax.lax.broadcasted_iota(
+            jnp.int32, (1, P * block_size), dimension=1
+        )
+        mask = kpos < ctx
+        if sliding_window > 0:
+            mask = jnp.logical_and(mask, kpos >= ctx - sliding_window)
+        scores = jnp.where(mask, scores, _NEG_INF)
+
+        m_prev = m_ref[...]  # [Hk*G, 128] (value broadcast across lanes)
+        l_prev = l_ref[...]
+        m_cur = jnp.max(scores, axis=1, keepdims=True)  # [Hk*G, 1]
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new[:, :1])  # [Hk*G, P*bs]
+        l_new = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+        )
+        pb = p.astype(jnp.bfloat16)
+        pv_rows = [
+            jnp.dot(
+                pb[h * G : (h + 1) * G],
+                vc[:, h * D : (h + 1) * D].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(Hk)
+        ]
+        pv = jnp.concatenate(pv_rows, axis=0)  # [Hk*G, D]
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+        m_ref[...] = m_new
+        l_ref[...] = l_new
+
+    @pl.when(j == num_steps - 1)
+    def _():
+        l = jnp.maximum(l_ref[:, :1], 1e-9)
+        out_ref[0] = (acc_ref[...] / l).astype(out_ref.dtype).reshape(out_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_size", "scale", "logit_softcap", "sliding_window",
+        "pages_per_step", "interpret",
+    ),
+)
+def _decode_call(
+    q,  # [B, Hk, G, D]
+    k_cache,  # [S, Hk*D] — blocked directly into (bs, Hk*D) pages, no reshape
+    v_cache,
+    block_tables,  # [B, MB]
+    context_lens,  # [B]
+    *,
+    block_size: int,
+    scale: float,
+    logit_softcap: float,
+    sliding_window: int,
+    pages_per_step: int,
+    interpret: bool,
+):
+    B, Hk, G, D = q.shape
+    MB = block_tables.shape[1]
+    P = pages_per_step
+    num_steps = -(-MB // P)
+
+    def page_index(t):
+        def idx(b, j, bt_ref, cl_ref):
+            ctx = cl_ref[b]
+            last = jnp.maximum(ctx - 1, 0) // block_size
+            page = jnp.minimum(j * P + t, last)
+            return bt_ref[b, page], 0
+
+        return idx
+
+    kv_specs = [
+        pl.BlockSpec((block_size, Hk * D), page_index(t)) for t in range(P)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, num_steps),
+        in_specs=[
+            pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl: (b, 0, 0, 0)),
+            *kv_specs,
+            *kv_specs,
+        ],
+        out_specs=pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Hk * G, 128), jnp.float32),  # m
+            pltpu.VMEM((Hk * G, 128), jnp.float32),  # l
+            pltpu.VMEM((Hk * G, D), jnp.float32),  # acc
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel,
+        pages_per_step=P,
+        block_size=block_size,
+        scale=scale,
+        logit_softcap=logit_softcap,
+        sliding_window=sliding_window,
+        num_steps=num_steps,
+        num_kv_heads=Hk,
+        head_dim=D,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hk, G, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        block_tables,
+        context_lens,
+        q,
+        *([k_cache] * P),
+        *([v_cache] * P),
+    )
+    return out
+
+
+def paged_attention_pallas(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    meta: AttnMeta,
+    *,
+    block_size: int,
+    scale: float,
+    logit_softcap: float = 0.0,
+    sliding_window: int = 0,
+) -> jax.Array:
+    """Backend entry: decode (T == 1) uses the flash-decoding kernel;
+    prefill currently falls back to the gather-based reference (a chunked
+    prefill kernel lands separately — prefill is compute-bound, not
+    HBM-latency-bound, so the fallback costs far less there)."""
+    if q.shape[1] == 1:
+        return paged_attention_decode_pallas(
+            q,
+            k_cache,
+            v_cache,
+            meta,
+            block_size=block_size,
+            scale=scale,
+            logit_softcap=logit_softcap,
+            sliding_window=sliding_window,
+        )
+    from vllm_rs_tpu.ops.attention import paged_attention_reference
+
+    return paged_attention_reference(
+        q,
+        k_cache,
+        v_cache,
+        meta,
+        block_size=block_size,
+        scale=scale,
+        logit_softcap=logit_softcap,
+        sliding_window=sliding_window,
+    )
+
+
+def paged_attention_decode_pallas(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k_cache: jax.Array,  # [S, Hk*D]
+    v_cache: jax.Array,
+    meta: AttnMeta,
+    *,
+    block_size: int,
+    scale: float,
+    logit_softcap: float = 0.0,
+    sliding_window: int = 0,
+    pages_per_step: int = 8,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, Hq, D = q.shape
+    assert T == 1, "decode kernel handles single-token queries"
+    S, HkD = k_cache.shape
+    Hk = HkD // D
+    G = Hq // Hk
+    MB = meta.block_tables.shape[1]
+    P = min(pages_per_step, MB)
+    qg = q.reshape(B, Hk, G, D)
+    out = _decode_call(
+        qg,
+        k_cache,
+        v_cache,
+        meta.block_tables,
+        meta.context_lens,
+        block_size=block_size,
+        scale=float(scale),
+        logit_softcap=float(logit_softcap),
+        sliding_window=int(sliding_window),
+        pages_per_step=P,
+        interpret=bool(interpret),
+    )
+    return out.reshape(B, 1, Hq, D)

@@ -77,14 +77,14 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 
 
 def kv_spec(num_kv_heads: int, mesh: Mesh) -> P:
-    """Shard the kv-head axis (dim 2 of [L, 2, Hk, S, D]) when divisible by
-    the model axis; otherwise replicate (kv_heads < world_size case,
-    distributed.rs:498-538)."""
+    """Shard the flattened kv-head axis (dim 3 of [L, 2, S, Hk*D]) when the
+    head count divides the model axis; otherwise replicate (kv_heads <
+    world_size case, distributed.rs:498-538)."""
     tp = mesh.shape.get("model", 1)
     if tp > 1 and num_kv_heads % tp == 0:
-        return P(None, None, "model", None, None)
+        return P(None, None, None, "model")
     return P()
 
 
-def shard_kv_cache(kv: jax.Array, mesh: Mesh) -> jax.Array:
-    return jax.device_put(kv, NamedSharding(mesh, kv_spec(kv.shape[2], mesh)))
+def shard_kv_cache(kv: jax.Array, mesh: Mesh, num_kv_heads: int) -> jax.Array:
+    return jax.device_put(kv, NamedSharding(mesh, kv_spec(num_kv_heads, mesh)))
