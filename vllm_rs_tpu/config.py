@@ -71,6 +71,16 @@ class ModelConfig:
     decoder_sparse_step: int = 1
     # scoring for router: "softmax" | "sigmoid"
     router_scoring: str = "softmax"
+    # DeepSeek group-limited routing (reference moe.rs:69-130)
+    n_group: int = 1
+    topk_group: int = 1
+    routed_scaling_factor: float = 1.0
+    # leading dense (non-MoE) decoder layers (deepseek/glm4-moe)
+    first_k_dense_replace: int = 0
+    # router e_score_correction_bias present (deepseek noaux_tc)
+    router_bias: bool = False
+    # qwen2-moe style sigmoid gate on the shared expert output
+    shared_expert_gate: bool = False
     eos_token_ids: tuple = ()
     bos_token_id: int = -1
     dtype: str = "bfloat16"
@@ -136,15 +146,26 @@ class ModelConfig:
             attn_logit_softcap=cfg.get("attn_logit_softcapping", 0.0) or 0.0,
             sliding_window=cfg.get("sliding_window", 0) or 0,
             sliding_window_pattern=cfg.get("sliding_window_pattern", 1) or 1,
-            num_experts=cfg.get("num_experts", cfg.get("num_local_experts", 0)) or 0,
+            num_experts=cfg.get(
+                "num_experts",
+                cfg.get("num_local_experts", cfg.get("n_routed_experts", 0)),
+            )
+            or 0,
             num_experts_per_tok=cfg.get("num_experts_per_tok", 0) or 0,
             moe_intermediate_size=cfg.get("moe_intermediate_size", 0) or 0,
             shared_expert_intermediate_size=cfg.get(
-                "shared_expert_intermediate_size", 0
+                "shared_expert_intermediate_size",
+                cfg.get("n_shared_experts", 0) * cfg.get("moe_intermediate_size", 0),
             )
             or 0,
             norm_topk_prob=cfg.get("norm_topk_prob", True),
             decoder_sparse_step=cfg.get("decoder_sparse_step", 1) or 1,
+            router_scoring=cfg.get("scoring_func", "softmax"),
+            n_group=cfg.get("n_group", 1) or 1,
+            topk_group=cfg.get("topk_group", 1) or 1,
+            routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0) or 1.0,
+            first_k_dense_replace=cfg.get("first_k_dense_replace", 0) or 0,
+            router_bias=cfg.get("scoring_func", "softmax") == "sigmoid",
             eos_token_ids=tuple(eos),
             bos_token_id=cfg.get("bos_token_id", -1) if cfg.get("bos_token_id") is not None else -1,
             dtype=str(cfg.get("torch_dtype", "bfloat16")).replace("torch.", ""),

@@ -28,5 +28,5 @@ def get_model_class(model_type: str):
 
 for _mt in ("llama", "mistral", "yi", "stablelm", "qwen2", "qwen3", "gemma", "gemma2", "gemma3", "gemma3_text", "phi3", "glm4"):
     register(_mt, "vllm_rs_tpu.models.llama:CausalLM")
-for _mt in ("qwen2_moe", "qwen3_moe", "mixtral"):
-    register(_mt, "vllm_rs_tpu.models.moe:MoeCausalLM")
+for _mt in ("qwen2_moe", "qwen3_moe", "mixtral", "glm4_moe", "minimax"):
+    register(_mt, "vllm_rs_tpu.models.qwen3_moe:MoECausalLM")

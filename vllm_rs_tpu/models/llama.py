@@ -59,10 +59,11 @@ class CausalLM:
     def _quantize(self, w, quant, group):
         if quant is None:
             return w
-        # vmap over the stacked layer axis when present
-        if w.ndim == 3:
-            return jax.vmap(lambda x: quantize_param(x, quant, group))(w)
-        return quantize_param(w, quant, group)
+        # vmap over stacked layer (and expert) axes when present
+        fn = lambda x: quantize_param(x, quant, group)  # noqa: E731
+        for _ in range(w.ndim - 2):
+            fn = jax.vmap(fn)
+        return fn(w)
 
     def init_params(
         self,
