@@ -81,6 +81,12 @@ class ModelConfig:
     router_bias: bool = False
     # qwen2-moe style sigmoid gate on the shared expert output
     shared_expert_gate: bool = False
+    # MLA (DeepSeek-style multi-head latent attention, mla_attention.rs)
+    q_lora_rank: int = 0  # 0 = direct q projection
+    kv_lora_rank: int = 0  # 0 = no MLA, standard GQA
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
     eos_token_ids: tuple = ()
     bos_token_id: int = -1
     dtype: str = "bfloat16"
@@ -166,6 +172,11 @@ class ModelConfig:
             routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0) or 1.0,
             first_k_dense_replace=cfg.get("first_k_dense_replace", 0) or 0,
             router_bias=cfg.get("scoring_func", "softmax") == "sigmoid",
+            q_lora_rank=cfg.get("q_lora_rank", 0) or 0,
+            kv_lora_rank=cfg.get("kv_lora_rank", 0) or 0,
+            qk_nope_head_dim=cfg.get("qk_nope_head_dim", 0) or 0,
+            qk_rope_head_dim=cfg.get("qk_rope_head_dim", 0) or 0,
+            v_head_dim=cfg.get("v_head_dim", 0) or 0,
             eos_token_ids=tuple(eos),
             bos_token_id=cfg.get("bos_token_id", -1) if cfg.get("bos_token_id") is not None else -1,
             dtype=str(cfg.get("torch_dtype", "bfloat16")).replace("torch.", ""),

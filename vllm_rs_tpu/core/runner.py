@@ -56,7 +56,10 @@ class ModelRunner:
         cache = econfig.cache
         self.block_size = cache.block_size
         self.max_blocks_per_seq = -(-econfig.scheduler.max_model_len // cache.block_size)
-        self.kv = init_kv_cache(econfig.model, cache, tp_size=econfig.tp_size, dtype=kv_dtype)
+        if hasattr(model, "init_kv_cache"):
+            self.kv = model.init_kv_cache(cache, dtype=kv_dtype)
+        else:
+            self.kv = init_kv_cache(econfig.model, cache, tp_size=econfig.tp_size, dtype=kv_dtype)
         if mesh is not None:
             from vllm_rs_tpu.parallel.sharding import shard_kv_cache
 

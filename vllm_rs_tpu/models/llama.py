@@ -127,6 +127,34 @@ class CausalLM:
     # forward
     # ------------------------------------------------------------------
 
+    def init_kv_cache(self, cache, dtype=None):
+        """Allocate this model's paged KV pool (default GQA layout
+        [L, 2, num_slots, Hk*Dh]); MLA models override with the compressed
+        layout."""
+        from vllm_rs_tpu.ops.kv_cache import init_kv_cache
+
+        return init_kv_cache(self.config, cache, dtype=dtype)
+
+    def attention(self, lp: dict, attn_in: jax.Array, meta: AttnMeta, kv_l: jax.Array):
+        """Per-layer attention hook: normed input → (attn_out, updated kv_l).
+
+        The default is the unified GQA path (attention_block); MLA models
+        override this (and init_kv_cache/_attn_params) only.
+        """
+        attn_out, k_c, v_c = attention_block(
+            lp,
+            attn_in,
+            meta,
+            kv_l[0],
+            kv_l[1],
+            self.config,
+            block_size=self.block_size,
+            scale=self.scale,
+            sliding_window=self.config.sliding_window,
+            attn_backend=self.attn_backend,
+        )
+        return attn_out, jnp.stack([k_c, v_c])
+
     def forward(self, params: dict, token_ids: jax.Array, meta: AttnMeta, kv: jax.Array):
         """token_ids [B, T] → (updated kv [L,2,S,Hk,Dh], hidden [B,T,D])."""
         cfg = self.config
@@ -137,18 +165,7 @@ class CausalLM:
         def layer_fn(h, xs):
             lp, kv_l = xs
             attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
-            attn_out, k_c, v_c = attention_block(
-                lp,
-                attn_in,
-                meta,
-                kv_l[0],
-                kv_l[1],
-                cfg,
-                block_size=self.block_size,
-                scale=self.scale,
-                sliding_window=cfg.sliding_window,
-                attn_backend=self.attn_backend,
-            )
+            attn_out, kv_out = self.attention(lp, attn_in, meta, kv_l)
             h = h + attn_out
             mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
             h = h + mlp(
@@ -156,7 +173,7 @@ class CausalLM:
                 mlp_in,
                 cfg.hidden_act,
             )
-            return h, jnp.stack([k_c, v_c])
+            return h, kv_out
 
         h, kv = jax.lax.scan(layer_fn, h, (params["layers"], kv))
         return kv, h

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from vllm_rs_tpu.config import ModelConfig
-from vllm_rs_tpu.models.layers import attention_block, linear, mlp, rms_norm
+from vllm_rs_tpu.models.layers import linear, mlp, rms_norm
 from vllm_rs_tpu.models.llama import CausalLM
 from vllm_rs_tpu.ops.attn_meta import AttnMeta
 from vllm_rs_tpu.ops.moe import MoERouterConfig, moe_mlp, moe_route
@@ -177,12 +177,8 @@ class MoECausalLM(CausalLM):
 
         def attn(lp, h, kv_l):
             attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
-            attn_out, k_c, v_c = attention_block(
-                lp, attn_in, meta, kv_l[0], kv_l[1], cfg,
-                block_size=self.block_size, scale=self.scale,
-                sliding_window=cfg.sliding_window, attn_backend=self.attn_backend,
-            )
-            return h + attn_out, jnp.stack([k_c, v_c])
+            attn_out, kv_out = self.attention(lp, attn_in, meta, kv_l)
+            return h + attn_out, kv_out
 
         kv_parts = []
         if Ld:

@@ -1,0 +1,102 @@
+"""Multi-head Latent Attention (MLA) over a compressed paged KV cache.
+
+Counterpart of the reference's MlaAttention forward + attention-rs MLA
+kernels (src/models/layers/mla_attention.rs:270-460; kernels
+concat_and_cache_mla / mla_paged_prefill / mla_paged_decode, SURVEY.md §2.5),
+designed TPU-first:
+
+- The cache stores the *compressed* per-token latent — ckv [kv_lora_rank]
+  concatenated with the shared rope key k_pe [qk_rope_head_dim] — one row
+  per slot: [num_slots, R + P]. That is the whole point of MLA: decode
+  attention reads R+P (≈576) bytes·2 per token instead of 2·Hk·Dh.
+- Attention runs in *absorbed* form for both prefill and decode
+  (mla_attention.rs absorbed-weight decode, w_uk/w_uv_t at :70-71):
+  q_nope is folded through w_uk into the latent space once per step, scores
+  are taken against the cached latents directly, and the value product
+  stays in latent space until a final per-head w_uv projection. By matmul
+  associativity this equals the decompress-then-attend prefill path the
+  reference uses; on TPU it keeps every contraction on the MXU with the
+  cache read exactly once.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_rs_tpu.ops.attn_meta import AttnMeta
+
+_NEG_INF = -1e30
+
+
+def write_mla_cache(
+    cache: jax.Array,  # [S, R+P]
+    ckv: jax.Array,  # [B, T, R]
+    k_pe: jax.Array,  # [B, T, P]
+    slot_mapping: jax.Array,  # [B, T] int32, pad == S (dropped)
+) -> jax.Array:
+    """concat_and_cache_mla: scatter latent rows into the pool."""
+    B, T, R = ckv.shape
+    row = jnp.concatenate([ckv, k_pe], axis=-1).reshape(B * T, -1)
+    return cache.at[slot_mapping.reshape(-1)].set(row.astype(cache.dtype), mode="drop")
+
+
+def mla_paged_attention(
+    q_nope: jax.Array,  # [B, T, H, dn]
+    q_pe: jax.Array,  # [B, T, H, dr] (rope already applied)
+    cache: jax.Array,  # [S, R+P] (already contains this step's writes)
+    w_uk: jax.Array,  # [H, dn, R]
+    w_uv: jax.Array,  # [H, R, dv]
+    meta: AttnMeta,
+    *,
+    block_size: int,
+    scale: float,
+    kv_lora_rank: int,
+) -> jax.Array:
+    """Absorbed MLA attention → [B, T, H, dv] in q dtype."""
+    B, T, H, dn = q_nope.shape
+    R = kv_lora_rank
+    S = cache.shape[0]
+    num_blocks = S // block_size
+
+    # gather each sequence's latent pages: [B, C, R+P]
+    paged = cache.reshape(num_blocks, block_size, cache.shape[-1])
+    pages = paged[meta.block_tables]  # [B, MB, bs, R+P]
+    MB = meta.block_tables.shape[1]
+    C = MB * block_size
+    pages = pages.reshape(B, C, cache.shape[-1])
+    ckv = pages[..., :R].astype(jnp.float32)  # [B, C, R]
+    kpe = pages[..., R:].astype(jnp.float32)  # [B, C, P]
+
+    # absorb w_uk: q_latent [B, T, H, R]
+    q_lat = jnp.einsum(
+        "bthd,hdr->bthr",
+        q_nope.astype(jnp.float32),
+        w_uk.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    scores = (
+        jnp.einsum("bthr,bcr->bhtc", q_lat, ckv, preferred_element_type=jnp.float32)
+        + jnp.einsum(
+            "bthp,bcp->bhtc",
+            q_pe.astype(jnp.float32),
+            kpe,
+            preferred_element_type=jnp.float32,
+        )
+    ) * scale
+
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, C), 3)
+    qpos = meta.positions[:, None, :, None]  # [B,1,T,1]
+    ctx = meta.context_lens[:, None, None, None]
+    mask = (kpos <= qpos) & (kpos < ctx)
+    scores = jnp.where(mask, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)  # [B, H, T, C]
+
+    out_lat = jnp.einsum("bhtc,bcr->bthr", probs, ckv, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "bthr,hrv->bthv", out_lat, w_uv.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q_nope.dtype)
