@@ -1,0 +1,328 @@
+"""Checkpoint loading: HF safetensors → model parameter pytrees.
+
+Counterpart of the reference's VarBuilderX + per-model weight loading
+(src/models/layers/mod.rs:34-152 and each model's `new`), restructured for
+the stacked-layer pytree layout the TPU models use: every per-layer HF
+tensor `model.layers.{i}.<submodule>` is transposed to [K, N] (jnp
+convention: y = x @ W), optionally quantized on load (the ISQ analog,
+reference linear.rs:352-399), and stacked along a leading layer axis so the
+trunk runs under lax.scan.
+
+Loading is streaming: one tensor at a time from safetensors shards, so peak
+host memory is ~one layer, not the checkpoint.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_rs_tpu.config import ModelConfig
+from vllm_rs_tpu.models.layers import Linear
+from vllm_rs_tpu.quant.pack import quantize_param
+
+logger = logging.getLogger(__name__)
+
+
+class SafetensorsDir:
+    """Random access over all *.safetensors shards in a directory."""
+
+    def __init__(self, model_dir: str):
+        from safetensors import safe_open
+
+        self._handles = {}
+        self._index: Dict[str, str] = {}
+        paths = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+        if not paths:
+            raise FileNotFoundError(f"no .safetensors in {model_dir}")
+        for p in paths:
+            h = safe_open(p, framework="flax")
+            self._handles[p] = h
+            for k in h.keys():
+                self._index[k] = p
+
+    def keys(self):
+        return self._index.keys()
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._index
+
+    def get(self, key: str) -> jax.Array:
+        return self._handles[self._index[key]].get_tensor(key)
+
+
+def _maybe_quant(w: jax.Array, quant: Optional[str], group: int):
+    if quant is None or w.ndim != 2:
+        return w
+    K = w.shape[0]
+    if K % group != 0 or (quant == "int4" and K % (2 * group)):
+        return w  # indivisible → keep unquantized (reference Q8_0 fallback)
+    return quantize_param(w, quant, group)
+
+
+def _stack(leaves: List):
+    """Stack a list of per-layer pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *leaves)
+
+
+class _Loader:
+    def __init__(
+        self,
+        st: SafetensorsDir,
+        config: ModelConfig,
+        quant: Optional[str],
+        quant_group: int,
+        dtype=jnp.bfloat16,
+    ):
+        self.st = st
+        self.cfg = config
+        self.quant = quant
+        self.group = quant_group
+        self.dtype = dtype
+
+    def t(self, key: str) -> jax.Array:
+        """Raw tensor in compute dtype."""
+        return self.st.get(key).astype(self.dtype)
+
+    def lin(self, prefix: str, quantize: bool = True) -> object:
+        """HF `<prefix>.weight` [N, K] (+ optional bias) → our [K, N] linear."""
+        w = self.t(prefix + ".weight").T
+        w = _maybe_quant(w, self.quant if quantize else None, self.group)
+        bkey = prefix + ".bias"
+        if bkey in self.st:
+            return Linear(w, self.t(bkey))
+        return w
+
+    def norm(self, key: str) -> jax.Array:
+        return self.t(key + ".weight")
+
+
+# ---------------------------------------------------------------------------
+# per-family layer converters: (loader, hf layer prefix) → our layer dict
+# ---------------------------------------------------------------------------
+
+
+def _attn_common(ld: _Loader, p: str) -> dict:
+    from vllm_rs_tpu.ops.rope import rope_inv_freq
+
+    cfg = ld.cfg
+    d = {
+        "input_ln": ld.norm(f"{p}.input_layernorm"),
+        "post_ln": ld.norm(f"{p}.post_attention_layernorm"),
+        "q": ld.lin(f"{p}.self_attn.q_proj"),
+        "k": ld.lin(f"{p}.self_attn.k_proj"),
+        "v": ld.lin(f"{p}.self_attn.v_proj"),
+        "o": ld.lin(f"{p}.self_attn.o_proj"),
+        "inv_freq": rope_inv_freq(cfg),
+    }
+    if cfg.qk_norm:
+        d["q_norm"] = ld.norm(f"{p}.self_attn.q_norm")
+        d["k_norm"] = ld.norm(f"{p}.self_attn.k_norm")
+    return d
+
+
+def _dense_layer(ld: _Loader, i: int) -> dict:
+    p = f"model.layers.{i}"
+    d = _attn_common(ld, p)
+    d.update(
+        {
+            "gate": ld.lin(f"{p}.mlp.gate_proj"),
+            "up": ld.lin(f"{p}.mlp.up_proj"),
+            "down": ld.lin(f"{p}.mlp.down_proj"),
+        }
+    )
+    return d
+
+
+def _moe_experts(ld: _Loader, p: str) -> dict:
+    cfg = ld.cfg
+    E = cfg.num_experts
+    wg, wu, wd = [], [], []
+    for e in range(E):
+        ep = f"{p}.mlp.experts.{e}"
+        wg.append(ld.lin(f"{ep}.gate_proj"))
+        wu.append(ld.lin(f"{ep}.up_proj"))
+        wd.append(ld.lin(f"{ep}.down_proj"))
+    d = {"w_gate": _stack(wg), "w_up": _stack(wu), "w_down": _stack(wd)}
+    return _moe_router_shared(ld, p, d)
+
+
+def _moe_experts_stacked(ld: _Loader, p: str) -> dict:
+    """GGUF-style stacked expert tensors `mlp.experts.{gate,up,down}_proj`
+    of shape [E, out, in] → quantized [E, in, out] stacks."""
+    d = {}
+    for ours, hf in (("w_gate", "gate_proj"), ("w_up", "up_proj"), ("w_down", "down_proj")):
+        w = ld.t(f"{p}.mlp.experts.{hf}.weight")  # [E, N, K]
+        w = jnp.swapaxes(w, 1, 2)  # [E, K, N]
+        if ld.quant is not None and w.shape[1] % ld.group == 0:
+            w = jax.vmap(lambda x: quantize_param(x, ld.quant, ld.group))(w)
+        d[ours] = w
+    return _moe_router_shared(ld, p, d)
+
+
+def _moe_router_shared(ld: _Loader, p: str, d: dict) -> dict:
+    # router (HF: mlp.gate) stays high precision
+    d["router"] = ld.lin(f"{p}.mlp.gate", quantize=False)
+    bias_key = f"{p}.mlp.gate.e_score_correction_bias"
+    if bias_key in ld.st:
+        d["router_bias"] = ld.st.get(bias_key).astype(jnp.float32)
+    # shared expert: qwen2-moe name or deepseek name
+    for name in ("shared_expert", "shared_experts"):
+        if f"{p}.mlp.{name}.gate_proj.weight" in ld.st:
+            d["shared_gate_proj"] = ld.lin(f"{p}.mlp.{name}.gate_proj")
+            d["shared_up_proj"] = ld.lin(f"{p}.mlp.{name}.up_proj")
+            d["shared_down_proj"] = ld.lin(f"{p}.mlp.{name}.down_proj")
+    if f"{p}.mlp.shared_expert_gate.weight" in ld.st:
+        d["shared_gate"] = ld.lin(f"{p}.mlp.shared_expert_gate", quantize=False)
+    return d
+
+
+def _moe_layer(ld: _Loader, i: int) -> dict:
+    p = f"model.layers.{i}"
+    d = _attn_common(ld, p)
+    if f"{p}.mlp.experts.gate_proj.weight" in ld.st:  # GGUF stacked layout
+        d.update(_moe_experts_stacked(ld, p))
+    else:
+        d.update(_moe_experts(ld, p))
+    return d
+
+
+def _mla_attn(ld: _Loader, p: str) -> dict:
+    """DeepSeek MLA projections, with kv_b split into absorbed factors."""
+    import dataclasses
+
+    from vllm_rs_tpu.ops.rope import rope_inv_freq
+
+    cfg = ld.cfg
+    H = cfg.num_attention_heads
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    d = {
+        "input_ln": ld.norm(f"{p}.input_layernorm"),
+        "post_ln": ld.norm(f"{p}.post_attention_layernorm"),
+        "kv_a": ld.lin(f"{p}.self_attn.kv_a_proj_with_mqa", quantize=False),
+        "kv_a_norm": ld.norm(f"{p}.self_attn.kv_a_layernorm"),
+        "o": ld.lin(f"{p}.self_attn.o_proj"),
+        "inv_freq": rope_inv_freq(
+            dataclasses.replace(cfg, head_dim=dr, partial_rotary_factor=1.0)
+        ),
+    }
+    # kv_b.weight: [H*(dn+dv), R] out-first → [H, dn+dv, R]
+    kv_b = ld.t(f"{p}.self_attn.kv_b_proj.weight")
+    R = kv_b.shape[1]
+    kv_b = kv_b.reshape(H, dn + dv, R)
+    d["w_uk"] = kv_b[:, :dn, :]  # [H, dn, R]
+    d["w_uv"] = jnp.swapaxes(kv_b[:, dn:, :], 1, 2)  # [H, R, dv]
+    if cfg.q_lora_rank:
+        d["q_a"] = ld.lin(f"{p}.self_attn.q_a_proj", quantize=False)
+        d["q_a_norm"] = ld.norm(f"{p}.self_attn.q_a_layernorm")
+        d["q_b"] = ld.lin(f"{p}.self_attn.q_b_proj")
+    else:
+        d["q"] = ld.lin(f"{p}.self_attn.q_proj")
+    return d
+
+
+def _mla_dense_layer(ld: _Loader, i: int) -> dict:
+    p = f"model.layers.{i}"
+    d = _mla_attn(ld, p)
+    d.update(
+        {
+            "gate": ld.lin(f"{p}.mlp.gate_proj"),
+            "up": ld.lin(f"{p}.mlp.up_proj"),
+            "down": ld.lin(f"{p}.mlp.down_proj"),
+        }
+    )
+    return d
+
+
+def _mla_moe_layer(ld: _Loader, i: int) -> dict:
+    p = f"model.layers.{i}"
+    d = _mla_attn(ld, p)
+    d.update(_moe_experts(ld, p))
+    return d
+
+
+# ---------------------------------------------------------------------------
+# top level
+# ---------------------------------------------------------------------------
+
+
+def load_params(
+    src,
+    config: ModelConfig,
+    *,
+    quant: Optional[str] = None,
+    quant_group: int = 128,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Load a checkpoint into the model-family pytree.
+
+    `src` is a model directory (safetensors shards) or any state-dict-like
+    object with get/keys/__contains__ (e.g. utils.gguf.GGUFStateDict).
+    """
+    st = SafetensorsDir(src) if isinstance(src, str) else src
+    ld = _Loader(st, config, quant, quant_group, dtype)
+    cfg = config
+    L = cfg.num_hidden_layers
+    is_mla = cfg.kv_lora_rank > 0
+    is_moe = cfg.num_experts > 0
+    Ld = cfg.first_k_dense_replace if is_moe else 0
+
+    params: dict = {
+        "embed": ld.t("model.embed_tokens.weight"),
+        "final_norm": ld.norm("model.norm"),
+    }
+    dense_fn = _mla_dense_layer if is_mla else _dense_layer
+    moe_fn = _mla_moe_layer if is_mla else _moe_layer
+
+    if is_moe:
+        if Ld:
+            params["dense_layers"] = _stack([dense_fn(ld, i) for i in range(Ld)])
+        params["moe_layers"] = _stack([moe_fn(ld, i) for i in range(Ld, L)])
+    else:
+        params["layers"] = _stack([dense_fn(ld, i) for i in range(L)])
+
+    if not cfg.tie_word_embeddings:
+        head = st.get("lm_head.weight").astype(dtype).T
+        params["lm_head"] = _maybe_quant(
+            head, "int8" if quant is not None else None, quant_group
+        )
+    logger.info("loaded %d tensors from %s", len(list(st.keys())), src)
+    return params
+
+
+def load_gguf_model(
+    gguf_path: str, *, quant=None, quant_group: int = 128, block_size: int = 16
+):
+    """GGUF file → (model, params, config): metadata-synthesized config,
+    dequantize → (optionally) requantize into the canonical device formats.
+    """
+    from vllm_rs_tpu.models import get_model_class
+    from vllm_rs_tpu.utils.gguf import GGUFFile, GGUFStateDict, config_from_gguf
+
+    g = GGUFFile(gguf_path)
+    config = config_from_gguf(g)
+    cls = get_model_class(config.model_type)
+    model = cls(config, block_size=block_size)
+    params = load_params(
+        GGUFStateDict(g), config, quant=quant, quant_group=quant_group
+    )
+    return model, params
+
+
+def load_model(model_dir: str, *, quant=None, quant_group: int = 128, block_size: int = 16):
+    """config.json + safetensors → (model instance, params)."""
+    from vllm_rs_tpu.models import get_model_class
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        config = ModelConfig.from_hf_dict(json.load(f))
+    cls = get_model_class(config.model_type)
+    model = cls(config, block_size=block_size)
+    params = load_params(model_dir, config, quant=quant, quant_group=quant_group)
+    return model, params
