@@ -92,13 +92,36 @@ class _Loader:
         return self.st.get(key).astype(self.dtype)
 
     def lin(self, prefix: str, quantize: bool = True) -> object:
-        """HF `<prefix>.weight` [N, K] (+ optional bias) → our [K, N] linear."""
-        w = self.t(prefix + ".weight").T
-        w = _maybe_quant(w, self.quant if quantize else None, self.group)
+        """HF `<prefix>.weight` [N, K] (+ optional bias) → our [K, N] linear.
+
+        GPTQ/AWQ checkpoints store `<prefix>.qweight/qzeros/scales[/g_idx]`
+        instead; those convert through quant/wna16.py.
+        """
+        if prefix + ".qweight" in self.st:
+            w = self._wna16(prefix)
+        else:
+            w = self.t(prefix + ".weight").T
+            w = _maybe_quant(w, self.quant if quantize else None, self.group)
         bkey = prefix + ".bias"
         if bkey in self.st:
             return Linear(w, self.t(bkey))
         return w
+
+    def _wna16(self, prefix: str) -> object:
+        from vllm_rs_tpu.quant.wna16 import awq_to_canonical, gptq_to_canonical
+
+        qweight = np.asarray(self.st.get(prefix + ".qweight"))
+        qzeros = np.asarray(self.st.get(prefix + ".qzeros"))
+        scales = np.asarray(
+            self.st.get(prefix + ".scales").astype(jnp.float32)
+        )
+        N = scales.shape[1]
+        if qweight.shape[1] == N:  # GPTQ packs along K
+            g_idx = None
+            if prefix + ".g_idx" in self.st:
+                g_idx = np.asarray(self.st.get(prefix + ".g_idx"))
+            return gptq_to_canonical(qweight, qzeros, scales, g_idx, bits=4)
+        return awq_to_canonical(qweight, qzeros, scales)
 
     def norm(self, key: str) -> jax.Array:
         return self.t(key + ".weight")
