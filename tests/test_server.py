@@ -1,0 +1,227 @@
+"""HTTP server tests: OpenAI + Anthropic routes against a tiny engine."""
+
+import asyncio
+import json
+import threading
+import time
+
+import jax
+import pytest
+import requests
+
+from vllm_rs_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SchedulerConfig,
+)
+from vllm_rs_tpu.core.engine import LLMEngine
+from vllm_rs_tpu.core.runner import ModelRunner
+from vllm_rs_tpu.models.llama import CausalLM
+from vllm_rs_tpu.server.app import ServerState, build_app
+
+
+def make_test_tokenizer(vocab_size: int):
+    """Word-level tokenizer: token i ↔ literal "t<i>" (joined by spaces)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {f"t{i}": i for i in range(vocab_size)}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="t1"))
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    return tok
+
+
+@pytest.fixture(scope="module")
+def server():
+    model_cfg = ModelConfig(
+        model_type="llama",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        eos_token_ids=(0,),
+    )
+    econfig = EngineConfig(
+        model=model_cfg,
+        cache=CacheConfig(block_size=4, num_blocks=128),
+        scheduler=SchedulerConfig(
+            max_num_seqs=8, chunk_size=64, max_model_len=256, prefill_buckets=(16, 64)
+        ),
+        prefill_buckets=(16, 64),
+        decode_buckets=(4, 8),
+    )
+    model = CausalLM(model_cfg, block_size=4)
+    params = model.init_params(jax.random.PRNGKey(0))
+    runner = ModelRunner(model, params, econfig)
+    engine = LLMEngine(econfig, runner, tokenizer=make_test_tokenizer(256))
+    engine.start_loop()
+    state = ServerState(engine, model_name="tiny-test")
+    app = build_app(state)
+
+    loop = asyncio.new_event_loop()
+    from aiohttp import web
+
+    runner_box = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def start():
+            r = web.AppRunner(app)
+            await r.setup()
+            site = web.TCPSite(r, "127.0.0.1", 0)
+            await site.start()
+            runner_box["port"] = site._server.sockets[0].getsockname()[1]
+            runner_box["runner"] = r
+
+        loop.run_until_complete(start())
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(100):
+        if "port" in runner_box:
+            break
+        time.sleep(0.05)
+    base = f"http://127.0.0.1:{runner_box['port']}"
+    # wait for health
+    for _ in range(50):
+        try:
+            if requests.get(base + "/health", timeout=1).ok:
+                break
+        except Exception:
+            time.sleep(0.1)
+    yield base
+    loop.call_soon_threadsafe(loop.stop)
+    engine.stop_loop()
+
+
+class TestOpenAI:
+    def test_models(self, server):
+        r = requests.get(server + "/v1/models").json()
+        assert r["data"][0]["id"] == "tiny-test"
+
+    def test_chat_completion(self, server):
+        r = requests.post(
+            server + "/v1/chat/completions",
+            json={
+                "model": "tiny-test",
+                "messages": [{"role": "user", "content": "t5 t6 t7"}],
+                "max_tokens": 8,
+                "temperature": 0.0,
+            },
+            timeout=120,
+        )
+        assert r.ok, r.text
+        body = r.json()
+        assert body["choices"][0]["finish_reason"] in ("stop", "length")
+        assert body["usage"]["prompt_tokens"] > 0
+        assert body["usage"]["completion_tokens"] >= 1
+        assert "content" in body["choices"][0]["message"]
+
+    def test_chat_completion_stream(self, server):
+        r = requests.post(
+            server + "/v1/chat/completions",
+            json={
+                "model": "tiny-test",
+                "messages": [{"role": "user", "content": "t9 t10"}],
+                "max_tokens": 6,
+                "temperature": 0.0,
+                "stream": True,
+            },
+            stream=True,
+            timeout=120,
+        )
+        assert r.ok
+        chunks, done = [], False
+        for line in r.iter_lines():
+            if not line or not line.startswith(b"data: "):
+                continue
+            payload = line[6:]
+            if payload == b"[DONE]":
+                done = True
+                break
+            chunks.append(json.loads(payload))
+        assert done
+        finals = [c for c in chunks if c["choices"][0]["finish_reason"]]
+        assert len(finals) == 1
+        assert "usage" in finals[0]
+
+    def test_completions(self, server):
+        r = requests.post(
+            server + "/v1/completions",
+            json={"prompt": "t3 t4 t5", "max_tokens": 4, "temperature": 0.0},
+            timeout=120,
+        ).json()
+        assert r["choices"][0]["finish_reason"] in ("stop", "length")
+
+    def test_tokenize_detokenize(self, server):
+        r = requests.post(server + "/tokenize", json={"text": "t1 t2 t3"}).json()
+        assert r["tokens"] == [1, 2, 3]
+        r2 = requests.post(server + "/detokenize", json={"tokens": [1, 2, 3]}).json()
+        assert "t1" in r2["text"]
+
+    def test_embeddings(self, server):
+        r = requests.post(
+            server + "/v1/embeddings",
+            json={"input": ["t1 t2 t3", "t4 t5"]},
+            timeout=120,
+        ).json()
+        assert len(r["data"]) == 2
+        assert len(r["data"][0]["embedding"]) == 64
+
+    def test_usage(self, server):
+        r = requests.get(server + "/v1/usage").json()
+        assert "kv_blocks_total" in r
+
+
+class TestClaude:
+    def test_messages(self, server):
+        r = requests.post(
+            server + "/v1/messages",
+            json={
+                "model": "tiny-test",
+                "max_tokens": 6,
+                "system": "t2",
+                "messages": [{"role": "user", "content": "t5 t6"}],
+                "temperature": 0.0,
+            },
+            timeout=120,
+        )
+        assert r.ok, r.text
+        body = r.json()
+        assert body["type"] == "message"
+        assert body["stop_reason"] in ("end_turn", "max_tokens")
+        assert body["usage"]["output_tokens"] >= 1
+        assert body["content"][0]["type"] in ("text", "thinking")
+
+    def test_messages_stream_events(self, server):
+        r = requests.post(
+            server + "/v1/messages",
+            json={
+                "model": "tiny-test",
+                "max_tokens": 5,
+                "messages": [{"role": "user", "content": [{"type": "text", "text": "t7"}]}],
+                "stream": True,
+                "temperature": 0.0,
+            },
+            stream=True,
+            timeout=120,
+        )
+        events = []
+        for line in r.iter_lines():
+            if line.startswith(b"event: "):
+                events.append(line[7:].decode())
+        assert events[0] == "message_start"
+        assert "content_block_start" in events
+        assert "content_block_delta" in events
+        assert events[-2:] == ["message_delta", "message_stop"]
+
+    def test_count_tokens(self, server):
+        r = requests.post(
+            server + "/v1/messages/count_tokens",
+            json={"messages": [{"role": "user", "content": "t5 t6 t7"}]},
+        ).json()
+        assert r["input_tokens"] > 0

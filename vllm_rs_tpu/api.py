@@ -1,0 +1,151 @@
+"""Embedding API: EngineBuilder / LLM.
+
+Counterpart of the reference's Rust crate surface (src/api.rs:26-309
+EngineBuilder → Engine::{generate, generate_stream, start_server}) and its
+PyO3 mirror (src/py/mod.rs). This is the one-stop constructor: checkpoint
+(safetensors dir or GGUF file) → tokenizer + config + params + sized KV
+cache + engine.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Union
+
+from vllm_rs_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SamplingParams,
+    SchedulerConfig,
+    plan_kv_cache,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class EngineBuilder:
+    """Fluent engine construction (reference api.rs:26-120)."""
+
+    model_path: str
+    quant: Optional[str] = None  # None | "int8" | "int4" (ISQ on load)
+    quant_group: int = 128
+    block_size: int = 16
+    max_model_len: int = 8192
+    max_num_seqs: int = 64
+    chunk_size: int = 2048
+    kv_dtype: str = "bfloat16"
+    num_blocks: int = 0  # 0 → plan from free memory
+    tp_size: int = 1
+    dp_size: int = 1
+    seed: int = 0
+    prefix_cache: bool = True
+
+    def build(self):
+        import jax
+
+        from vllm_rs_tpu.core.engine import LLMEngine
+        from vllm_rs_tpu.core.runner import ModelRunner
+
+        path = os.path.expanduser(self.model_path)
+        if path.endswith(".gguf"):
+            from vllm_rs_tpu.utils.loader import load_gguf_model
+
+            model, params = load_gguf_model(
+                path, quant=self.quant, quant_group=self.quant_group,
+                block_size=self.block_size,
+            )
+            tokenizer = _tokenizer_near(os.path.dirname(path))
+        else:
+            from vllm_rs_tpu.utils.loader import load_model
+
+            model, params = load_model(
+                path, quant=self.quant, quant_group=self.quant_group,
+                block_size=self.block_size,
+            )
+            tokenizer = _tokenizer_near(path)
+
+        config = model.config
+        max_len = min(self.max_model_len, config.max_position_embeddings)
+        if self.num_blocks:
+            cache = CacheConfig(
+                block_size=self.block_size, num_blocks=self.num_blocks,
+                kv_dtype=self.kv_dtype,
+            )
+        else:
+            free = _free_device_bytes()
+            cache = plan_kv_cache(
+                config, hbm_bytes_free=free, block_size=self.block_size,
+                kv_dtype=self.kv_dtype, tp_size=self.tp_size,
+            )
+        sched = SchedulerConfig(
+            max_num_seqs=self.max_num_seqs,
+            chunk_size=self.chunk_size,
+            max_model_len=max_len,
+            prefix_cache_enabled=self.prefix_cache,
+        )
+        econfig = EngineConfig(
+            model=config, cache=cache, scheduler=sched,
+            quant=self.quant, quant_group=self.quant_group,
+            tp_size=self.tp_size, dp_size=self.dp_size, seed=self.seed,
+        )
+        mesh = None
+        if self.tp_size * self.dp_size > 1:
+            from vllm_rs_tpu.parallel import make_mesh, shard_params
+
+            mesh = make_mesh(tp_size=self.tp_size, dp_size=self.dp_size)
+            params = shard_params(params, mesh)
+        runner = ModelRunner(model, params, econfig, mesh=mesh)
+        engine = LLMEngine(econfig, runner, tokenizer=tokenizer)
+        logger.info(
+            "engine ready: %s, %d KV blocks x %d, max_len %d",
+            config.model_type, cache.num_blocks, cache.block_size, max_len,
+        )
+        return engine
+
+
+def _tokenizer_near(path: str):
+    """Load tokenizer.json next to the checkpoint (HF tokenizers)."""
+    tj = os.path.join(path, "tokenizer.json")
+    if os.path.exists(tj):
+        from tokenizers import Tokenizer
+
+        return Tokenizer.from_file(tj)
+    logger.warning("no tokenizer.json under %s — token-id API only", path)
+    return None
+
+
+def _free_device_bytes() -> int:
+    """Free HBM on the first device (reference kvcache_allocator.rs:479-543)."""
+    import jax
+
+    try:
+        d = jax.devices()[0]
+        stats = d.memory_stats()
+        limit = stats.get("bytes_limit", 0)
+        used = stats.get("bytes_in_use", 0)
+        if limit:
+            return int(limit - used)
+    except Exception:  # pragma: no cover — platform without memory_stats
+        pass
+    return 4 << 30  # conservative CPU/testing default
+
+
+class LLM:
+    """Convenience synchronous wrapper (reference example/completion.py)."""
+
+    def __init__(self, model_path: str, **kw):
+        self.engine = EngineBuilder(model_path, **kw).build()
+
+    def generate(
+        self,
+        prompts: Union[str, List[str]],
+        sampling_params: Optional[SamplingParams] = None,
+    ):
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        return self.engine.generate(prompts, sampling_params)

@@ -267,6 +267,49 @@ class LLMEngine:
             self._loop_thread = None
 
     # ------------------------------------------------------------------
+    # embeddings (reference LLMEngine::embed, engine.rs:1520)
+    # ------------------------------------------------------------------
+
+    def embed(
+        self,
+        prompts: List[Union[str, List[int]]],
+        pooling: str = "last",
+    ) -> List["np.ndarray"]:
+        """Encode prompts into pooled hidden-state vectors."""
+        import numpy as np  # noqa: F811
+
+        from vllm_rs_tpu.core.scheduler import ScheduledBatch
+
+        out: List[np.ndarray] = []
+        max_t = self.econfig.prefill_buckets[-1]
+        with self._lock:
+            for prompt in prompts:
+                if isinstance(prompt, str):
+                    assert self.tokenizer is not None
+                    ids = self.tokenizer.encode(prompt)
+                    ids = ids.ids if hasattr(ids, "ids") else ids
+                else:
+                    ids = list(prompt)
+                if len(ids) > max_t:
+                    raise ValueError(
+                        f"embedding prompt ({len(ids)} tokens) exceeds max bucket {max_t}"
+                    )
+                seq = Sequence(ids, SamplingParams(max_tokens=1))
+                if not self.block_manager.allocate_prompt(seq):
+                    raise RuntimeError("KV pool exhausted for embedding request")
+                # prefix-cached blocks still need this forward's KV writes to
+                # land somewhere valid; embed runs the full prompt
+                seq.num_cached_tokens = 0
+                batch = ScheduledBatch(
+                    kind="prefill", seqs=[seq], chunk_sizes=[len(ids)]
+                )
+                vec = self.runner.embed(batch, pooling=pooling)[0]
+                self.block_manager.free_seq(seq, cache=False)
+                self.total_prompt_tokens += len(ids)
+                out.append(vec)
+        return out
+
+    # ------------------------------------------------------------------
     # stats (reference /v1/usage, engine.rs:1480-1518)
     # ------------------------------------------------------------------
 

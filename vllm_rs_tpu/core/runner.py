@@ -74,6 +74,9 @@ class ModelRunner:
             static_argnames=("needs_filters", "needs_penalties"),
             donate_argnames=("kv",),
         )
+        self._jit_embed = jax.jit(
+            self._embed_impl, static_argnames=("pooling",), donate_argnames=("kv",)
+        )
 
     # ------------------------------------------------------------------
     # jitted step
@@ -100,6 +103,32 @@ class ModelRunner:
             needs_penalties=needs_penalties,
         )
         return kv, tokens, logits
+
+    def _embed_impl(self, params, kv, token_ids, meta: AttnMeta, *, pooling: str):
+        """Forward → pooled hidden states (reference ModelRunner::embed,
+        core/runner.rs:898; pooling mean/last as in server embeddings)."""
+        from vllm_rs_tpu.models.layers import gather_last_hidden
+
+        kv, hidden = self.model.forward(params, token_ids, meta, kv)
+        if pooling == "last":
+            pooled = gather_last_hidden(hidden, meta)
+        else:  # mean over real tokens
+            B, T, D = hidden.shape
+            pos = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+            mask = (pos <= meta.last_token_idx[:, None]).astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+            pooled = jnp.sum(
+                hidden.astype(jnp.float32) * mask[:, :, None], axis=1
+            ) / denom
+        return kv, pooled.astype(jnp.float32)
+
+    def embed(self, batch: ScheduledBatch, pooling: str = "last") -> np.ndarray:
+        """Run a prefill-shaped batch for embeddings → [num_seqs, D] f32."""
+        token_ids, meta = self.prepare_prefill(batch)
+        self.kv, pooled = self._jit_embed(
+            self.params, self.kv, token_ids, meta, pooling=pooling
+        )
+        return np.asarray(pooled)[: len(batch.seqs)]
 
     # ------------------------------------------------------------------
     # descriptor builders

@@ -1,0 +1,87 @@
+"""Server assembly + lifecycle.
+
+Counterpart of the reference's run_server route table (server/mod.rs:
+1352-1518): wires the OpenAI and Anthropic route tables onto one aiohttp
+app around a running LLMEngine.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+from aiohttp import web
+
+from vllm_rs_tpu.core.engine import LLMEngine
+from vllm_rs_tpu.server.tool_parser import ToolConfig
+from vllm_rs_tpu.utils.chat_template import ChatTemplate
+
+logger = logging.getLogger(__name__)
+
+
+class ServerState:
+    def __init__(
+        self,
+        engine: LLMEngine,
+        *,
+        model_name: str = "model",
+        chat_template: Optional[ChatTemplate] = None,
+        tool_config: Optional[ToolConfig] = None,
+        default_max_tokens: int = 1024,
+    ):
+        self.engine = engine
+        self.model_name = model_name
+        mt = engine.econfig.model.model_type
+        self.chat_template = chat_template or ChatTemplate(model_type=mt)
+        self.tool_config = tool_config or ToolConfig.for_model_type(mt)
+        self.default_max_tokens = default_max_tokens
+        self.created = int(time.time())
+
+    def tokenize(self, text: str):
+        tok = self.engine.tokenizer
+        assert tok is not None, "server requires a tokenizer"
+        ids = tok.encode(text)
+        return list(ids.ids) if hasattr(ids, "ids") else list(ids)
+
+    def detokenize(self, ids):
+        tok = self.engine.tokenizer
+        assert tok is not None
+        try:
+            return tok.decode(ids, skip_special_tokens=False)
+        except TypeError:
+            return tok.decode(ids)
+
+
+def build_app(state: ServerState) -> web.Application:
+    from vllm_rs_tpu.server import claude, openai
+
+    app = web.Application()
+    app["state"] = state
+    app.add_routes(openai.routes)
+    app.add_routes(claude.routes)
+
+    async def health(_request):
+        return web.json_response({"status": "ok"})
+
+    app.router.add_get("/health", health)
+    return app
+
+
+def run_server(
+    engine: LLMEngine,
+    *,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    model_name: str = "model",
+    chat_template: Optional[ChatTemplate] = None,
+) -> None:
+    """Start the engine loop and serve until interrupted."""
+    engine.start_loop()
+    state = ServerState(engine, model_name=model_name, chat_template=chat_template)
+    app = build_app(state)
+    logger.info("serving %s on %s:%d", model_name, host, port)
+    try:
+        web.run_app(app, host=host, port=port, print=None)
+    finally:
+        engine.stop_loop()

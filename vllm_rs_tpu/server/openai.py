@@ -1,0 +1,296 @@
+"""OpenAI-compatible routes.
+
+Counterpart of the reference's server/server.rs: /v1/chat/completions
+(stream + non-stream) with tool-call stream parsing and reasoning-content
+routing (server.rs:351-), /v1/completions, /v1/embeddings (float + base64,
+server.rs:1402), /v1/models, /v1/usage, /tokenize, /detokenize
+(server.rs:1467-1580).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import json
+import logging
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+from aiohttp import web
+
+from vllm_rs_tpu.server.protocol import (
+    finish_reason_openai,
+    make_id,
+    openai_chunk,
+    openai_usage,
+    sampling_from_openai,
+)
+from vllm_rs_tpu.server.tool_parser import StreamParser, ToolCall
+
+logger = logging.getLogger(__name__)
+
+routes = web.RouteTableDef()
+
+
+def _state(request: web.Request):
+    return request.app["state"]
+
+
+async def _next_item(queue):
+    """Await the next StreamItem from the engine's thread-side queue."""
+    loop = asyncio.get_running_loop()
+    return await loop.run_in_executor(None, queue.get)
+
+
+def _render_prompt(st, body: Dict[str, Any]) -> str:
+    messages = body.get("messages", [])
+    norm = []
+    for m in messages:
+        content = m.get("content", "")
+        if isinstance(content, list):  # multimodal blocks → text only for now
+            content = "".join(
+                c.get("text", "") for c in content if c.get("type") == "text"
+            )
+        mm = dict(m)
+        mm["content"] = content
+        norm.append(mm)
+    return st.chat_template.render(
+        norm,
+        add_generation_prompt=True,
+        tools=body.get("tools"),
+        enable_thinking=body.get("thinking", body.get("enable_thinking", True)),
+    )
+
+
+def _tool_call_json(tc: ToolCall, index: int = 0) -> dict:
+    return {
+        "index": index,
+        "id": tc.id,
+        "type": "function",
+        "function": {"name": tc.name, "arguments": tc.arguments},
+    }
+
+
+@routes.post("/v1/chat/completions")
+async def chat_completions(request: web.Request) -> web.StreamResponse:
+    st = _state(request)
+    body = await request.json()
+    rid = make_id("chatcmpl")
+    sp = sampling_from_openai(body, default_max=st.default_max_tokens)
+    prompt = _render_prompt(st, body)
+    try:
+        seq_id = st.engine.add_request(prompt, sp)
+    except ValueError as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    queue = st.engine.get_stream(seq_id)
+    seq = st.engine.requests[seq_id].seq
+    parser = StreamParser(st.tool_config)
+    model = st.model_name
+
+    if body.get("stream"):
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            }
+        )
+        await resp.prepare(request)
+
+        async def send(obj):
+            await resp.write(f"data: {json.dumps(obj)}\n\n".encode())
+
+        await send(openai_chunk(rid, model, role="assistant", content=""))
+        reasoning_tokens = 0
+        n_out = 0
+        try:
+            while True:
+                item = await _next_item(queue)
+                if item.token_id is not None:
+                    n_out += 1
+                events = parser.push(item.text) if item.text else []
+                if item.finished:
+                    events += parser.finish()
+                for kind, payload in events:
+                    if kind == "content":
+                        await send(openai_chunk(rid, model, content=payload))
+                    elif kind == "reasoning":
+                        reasoning_tokens += 1
+                        await send(openai_chunk(rid, model, reasoning_content=payload))
+                    else:
+                        await send(
+                            openai_chunk(
+                                rid, model,
+                                tool_calls=[_tool_call_json(payload, len(parser.tool_calls) - 1)],
+                            )
+                        )
+                if item.finished:
+                    fr = finish_reason_openai(item.finish_reason, bool(parser.tool_calls))
+                    usage = openai_usage(
+                        len(seq.prompt_token_ids), n_out,
+                        cached_tokens=seq.num_prefix_cached_tokens,
+                    )
+                    await send(openai_chunk(rid, model, finish_reason=fr, usage=usage))
+                    await resp.write(b"data: [DONE]\n\n")
+                    break
+        except (ConnectionResetError, asyncio.CancelledError):
+            st.engine.abort_request(seq_id)  # client disconnect → cancel
+            raise
+        return resp
+
+    # non-streaming
+    content_parts: List[str] = []
+    reasoning_parts: List[str] = []
+    n_out = 0
+    while True:
+        item = await _next_item(queue)
+        if item.token_id is not None:
+            n_out += 1
+        events = parser.push(item.text) if item.text else []
+        if item.finished:
+            events += parser.finish()
+        for kind, payload in events:
+            if kind == "content":
+                content_parts.append(payload)
+            elif kind == "reasoning":
+                reasoning_parts.append(payload)
+        if item.finished:
+            finish_reason = item.finish_reason
+            break
+    msg: Dict[str, Any] = {"role": "assistant", "content": "".join(content_parts)}
+    if reasoning_parts:
+        msg["reasoning_content"] = "".join(reasoning_parts)
+    if parser.tool_calls:
+        msg["tool_calls"] = [
+            _tool_call_json(tc, i) for i, tc in enumerate(parser.tool_calls)
+        ]
+    return web.json_response(
+        {
+            "id": rid,
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": model,
+            "choices": [
+                {
+                    "index": 0,
+                    "message": msg,
+                    "finish_reason": finish_reason_openai(
+                        finish_reason, bool(parser.tool_calls)
+                    ),
+                }
+            ],
+            "usage": openai_usage(
+                len(seq.prompt_token_ids), n_out,
+                cached_tokens=seq.num_prefix_cached_tokens,
+            ),
+        }
+    )
+
+
+@routes.post("/v1/completions")
+async def completions(request: web.Request) -> web.Response:
+    st = _state(request)
+    body = await request.json()
+    sp = sampling_from_openai(body, default_max=st.default_max_tokens)
+    prompt = body.get("prompt", "")
+    if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+        pass  # token ids accepted directly
+    seq_id = st.engine.add_request(prompt, sp)
+    queue = st.engine.get_stream(seq_id)
+    text_parts = []
+    n_out = 0
+    while True:
+        item = await _next_item(queue)
+        if item.token_id is not None:
+            n_out += 1
+        text_parts.append(item.text)
+        if item.finished:
+            finish_reason = item.finish_reason
+            break
+    seq = st.engine.requests[seq_id].seq
+    return web.json_response(
+        {
+            "id": make_id("cmpl"),
+            "object": "text_completion",
+            "created": int(time.time()),
+            "model": st.model_name,
+            "choices": [
+                {
+                    "index": 0,
+                    "text": "".join(text_parts),
+                    "finish_reason": finish_reason_openai(finish_reason),
+                }
+            ],
+            "usage": openai_usage(len(seq.prompt_token_ids), n_out),
+        }
+    )
+
+
+@routes.post("/v1/embeddings")
+async def embeddings(request: web.Request) -> web.Response:
+    st = _state(request)
+    body = await request.json()
+    inputs = body.get("input", [])
+    if isinstance(inputs, str):
+        inputs = [inputs]
+    pooling = body.get("pooling", "last")
+    encoding = body.get("encoding_format", "float")
+    loop = asyncio.get_running_loop()
+    vecs = await loop.run_in_executor(None, lambda: st.engine.embed(inputs, pooling))
+    data = []
+    for i, v in enumerate(vecs):
+        if encoding == "base64":
+            emb = base64.b64encode(np.asarray(v, np.float32).tobytes()).decode()
+        else:
+            emb = [float(x) for x in v]
+        data.append({"object": "embedding", "index": i, "embedding": emb})
+    total = sum(len(st.tokenize(x)) if isinstance(x, str) else len(x) for x in inputs)
+    return web.json_response(
+        {
+            "object": "list",
+            "data": data,
+            "model": st.model_name,
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+        }
+    )
+
+
+@routes.get("/v1/models")
+async def models(request: web.Request) -> web.Response:
+    st = _state(request)
+    return web.json_response(
+        {
+            "object": "list",
+            "data": [
+                {
+                    "id": st.model_name,
+                    "object": "model",
+                    "created": st.created,
+                    "owned_by": "vllm_rs_tpu",
+                }
+            ],
+        }
+    )
+
+
+@routes.get("/v1/usage")
+async def usage(request: web.Request) -> web.Response:
+    st = _state(request)
+    return web.json_response(st.engine.usage_stats())
+
+
+@routes.post("/tokenize")
+async def tokenize(request: web.Request) -> web.Response:
+    st = _state(request)
+    body = await request.json()
+    text = body.get("text") or body.get("prompt") or ""
+    ids = st.tokenize(text)
+    return web.json_response({"tokens": ids, "count": len(ids)})
+
+
+@routes.post("/detokenize")
+async def detokenize(request: web.Request) -> web.Response:
+    st = _state(request)
+    body = await request.json()
+    ids = body.get("tokens", [])
+    return web.json_response({"text": st.detokenize(ids)})

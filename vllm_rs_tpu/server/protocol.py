@@ -1,0 +1,113 @@
+"""Wire types for the OpenAI- and Anthropic-compatible APIs.
+
+Mirrors the reference's request/response structs (src/server/mod.rs:206-441
+OpenAI superset incl. session_id/thinking/structured_outputs;
+src/server/claude_server.rs:77-370 Anthropic content blocks). Python dicts
+in/out — handlers validate the few fields they consume and pass sampling
+knobs through SamplingParams.from_dict.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Any, Dict, List, Optional
+
+from vllm_rs_tpu.config import SamplingParams
+
+
+def make_id(prefix: str) -> str:
+    return f"{prefix}-{uuid.uuid4().hex[:24]}"
+
+
+def sampling_from_openai(body: Dict[str, Any], default_max: int = 1024) -> SamplingParams:
+    """OpenAI request body → SamplingParams (server/mod.rs:206-441)."""
+    sp = SamplingParams(
+        temperature=body.get("temperature", 1.0) if body.get("temperature") is not None else 1.0,
+        top_p=body.get("top_p", 1.0) or 1.0,
+        top_k=body.get("top_k", 0) or 0,
+        min_p=body.get("min_p", 0.0) or 0.0,
+        max_tokens=body.get("max_tokens")
+        or body.get("max_completion_tokens")
+        or default_max,
+        frequency_penalty=body.get("frequency_penalty", 0.0) or 0.0,
+        presence_penalty=body.get("presence_penalty", 0.0) or 0.0,
+        repetition_penalty=body.get("repetition_penalty", 1.0) or 1.0,
+        seed=body.get("seed"),
+    )
+    stop = body.get("stop")
+    if isinstance(stop, str):
+        sp.stop = (stop,)
+    elif isinstance(stop, list):
+        sp.stop = tuple(stop)
+    rf = body.get("response_format")
+    if isinstance(rf, dict):
+        if rf.get("type") == "json_object":
+            sp.constraint = ("json", None)
+        elif rf.get("type") == "json_schema":
+            schema = (rf.get("json_schema") or {}).get("schema")
+            sp.constraint = ("json_schema", schema)
+    so = body.get("structured_outputs")
+    if isinstance(so, dict):
+        for kind in ("regex", "choice", "grammar", "json_schema"):
+            if kind in so:
+                sp.constraint = (kind, so[kind])
+                break
+    return sp
+
+
+def openai_chunk(
+    rid: str, model: str, *, content: Optional[str] = None,
+    reasoning_content: Optional[str] = None, role: Optional[str] = None,
+    tool_calls: Optional[list] = None, finish_reason: Optional[str] = None,
+    usage: Optional[dict] = None,
+) -> dict:
+    delta: Dict[str, Any] = {}
+    if role is not None:
+        delta["role"] = role
+    if content is not None:
+        delta["content"] = content
+    if reasoning_content is not None:
+        delta["reasoning_content"] = reasoning_content
+    if tool_calls is not None:
+        delta["tool_calls"] = tool_calls
+    out = {
+        "id": rid,
+        "object": "chat.completion.chunk",
+        "created": int(time.time()),
+        "model": model,
+        "choices": [
+            {"index": 0, "delta": delta, "finish_reason": finish_reason}
+        ],
+    }
+    if usage is not None:
+        out["usage"] = usage
+    return out
+
+
+def openai_usage(
+    prompt_tokens: int, completion_tokens: int, *, cached_tokens: int = 0,
+    reasoning_tokens: int = 0,
+) -> dict:
+    """Usage with the reference's extensions (docs/prefix-cache.md:49-79)."""
+    u = {
+        "prompt_tokens": prompt_tokens,
+        "completion_tokens": completion_tokens,
+        "total_tokens": prompt_tokens + completion_tokens,
+        "prompt_tokens_details": {"cached_tokens": cached_tokens},
+    }
+    if reasoning_tokens:
+        u["completion_tokens_details"] = {"reasoning_tokens": reasoning_tokens}
+    return u
+
+
+def finish_reason_openai(reason: Optional[str], has_tool_calls: bool = False) -> str:
+    if has_tool_calls:
+        return "tool_calls"
+    return {"length": "length"}.get(reason or "", "stop")
+
+
+def finish_reason_claude(reason: Optional[str], has_tool_calls: bool = False) -> str:
+    if has_tool_calls:
+        return "tool_use"
+    return {"length": "max_tokens"}.get(reason or "", "end_turn")
