@@ -114,6 +114,8 @@ class LLMEngine:
         # clamp max_tokens to the KV budget (engine.rs:505-685)
         sp.max_tokens = max(1, min(sp.max_tokens, max_len - len(token_ids)))
         seq = Sequence(token_ids, sp)
+        if sp.constraint is not None:
+            seq.guidance = self._make_guidance(sp.constraint)
         detok = (
             IncrementalDetokenizer(self.tokenizer) if self.tokenizer is not None else None
         )
@@ -122,6 +124,26 @@ class LLMEngine:
             self.scheduler.add(seq)
             self.total_prompt_tokens += len(token_ids)
         return seq.seq_id
+
+    def _make_guidance(self, constraint):
+        """Build a GuidanceState (reference build_llg_factory + per-seq
+        GuidanceState, engine.rs + core/runner.rs:188-330)."""
+        from vllm_rs_tpu.utils.guidance import (
+            GuidanceState,
+            TokenTrie,
+            build_constraint,
+        )
+
+        assert self.tokenizer is not None, "guided decoding needs a tokenizer"
+        if getattr(self, "_token_trie", None) is None:
+            self._token_trie = TokenTrie.from_tokenizer(
+                self.tokenizer, self.econfig.model.vocab_size
+            )
+        kind, arg = constraint
+        automaton = build_constraint(kind, arg)
+        return GuidanceState(
+            automaton, self._token_trie, self.econfig.model.eos_token_ids
+        )
 
     def abort_request(self, seq_id: int) -> None:
         with self._lock:
@@ -158,6 +180,9 @@ class LLMEngine:
                 continue
             tok = seq.output_token_ids[-1]
             self.total_output_tokens += 1
+            g = getattr(seq, "guidance", None)
+            if g is not None:  # commit into the grammar (runner.rs:336-372)
+                g.advance(tok, self.tokenizer.decode([tok]))
             text = ""
             if st.detok is not None:
                 text = st.detok.push(tok)

@@ -90,6 +90,7 @@ class ModelRunner:
         meta: AttnMeta,
         st: SamplingState,
         key,
+        mask=None,
         *,
         needs_filters: bool,
         needs_penalties: bool,
@@ -101,6 +102,7 @@ class ModelRunner:
             key,
             needs_filters=needs_filters,
             needs_penalties=needs_penalties,
+            mask=mask,
         )
         return kv, tokens, logits
 
@@ -232,6 +234,20 @@ class ModelRunner:
                 (sp.seed if sp.seed is not None else seq.seq_id) & 0xFFFFFFFF
             )
             out_len[i] = len(seq.output_token_ids)
+        # guided decoding: per-row allowed-token bitmask (reference
+        # core/runner.rs:188-330 llguidance mask path)
+        mask = None
+        if any(getattr(s, "guidance", None) is not None for s in seqs):
+            m = np.zeros((B, V), dtype=bool)
+            m[len(seqs):] = True  # padded rows unconstrained
+            for i, seq in enumerate(seqs):
+                g = getattr(seq, "guidance", None)
+                if g is None:
+                    m[i] = True
+                else:
+                    allowed = g.allowed_tokens()
+                    m[i, np.asarray(allowed, dtype=np.int64)] = True
+            mask = jnp.asarray(m)
         st = SamplingState(
             temperature=jnp.asarray(temperature),
             top_k=jnp.asarray(top_k),
@@ -244,7 +260,7 @@ class ModelRunner:
             rng_fold=jnp.asarray(rng_fold),
             out_len=jnp.asarray(out_len),
         )
-        return st, needs_filters, needs_penalties
+        return st, needs_filters, needs_penalties, mask
 
     # ------------------------------------------------------------------
     # public API
@@ -257,7 +273,7 @@ class ModelRunner:
         else:
             token_ids, meta = self.prepare_decode(batch)
         B = token_ids.shape[0]
-        st, needs_filters, needs_penalties = self.prepare_sampling(batch.seqs, B)
+        st, needs_filters, needs_penalties, mask = self.prepare_sampling(batch.seqs, B)
         self._step_counter += 1
         self.kv, tokens, _ = self._jit_step(
             self.params,
@@ -266,6 +282,7 @@ class ModelRunner:
             meta,
             st,
             self._base_key,
+            mask,
             needs_filters=needs_filters,
             needs_penalties=needs_penalties,
         )

@@ -55,6 +55,8 @@ class Sequence:
         self.sampling_params = sampling_params or SamplingParams()
         self.status = SequenceStatus.WAITING
         self.finish_reason: Optional[FinishReason] = None
+        # guided-decoding state (utils/guidance.GuidanceState) or None
+        self.guidance = None
         # paged-KV block table (logical block ids into the device pool)
         self.block_table: List[int] = []
         # tokens whose KV already exists in the cache (prefix hits + chunks)

@@ -65,6 +65,23 @@ class CausalLM:
             fn = jax.vmap(fn)
         return fn(w)
 
+    @staticmethod
+    def _init_quant_stacked(key, L, shape2d, quant, group, dtype, scale=0.02):
+        """Random-init a stacked [L, *shape2d] quantized weight one layer at
+        a time so peak memory is the quantized stack + ONE bf16 layer (a full
+        bf16 8B model would not fit HBM before quantization)."""
+        import jax
+
+        from vllm_rs_tpu.quant.pack import quantize_param
+
+        @jax.jit
+        def one(k):
+            x = (jax.random.normal(k, shape2d, dtype=jnp.float32) * scale).astype(dtype)
+            return quantize_param(x, quant, group)
+
+        layers = [one(k) for k in jax.random.split(key, L)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
     def init_params(
         self,
         key: jax.Array,
@@ -84,6 +101,10 @@ class CausalLM:
         keys = iter(jax.random.split(key, 16))
 
         def w(k, shape, q=True):
+            if quant is not None and q and len(shape) == 3:
+                return self._init_quant_stacked(
+                    k, shape[0], shape[1:], quant, quant_group, dtype
+                )
             x = (jax.random.normal(k, shape, dtype=jnp.float32) * 0.02).astype(dtype)
             return self._quantize(x, quant if q else None, quant_group)
 

@@ -12,7 +12,7 @@ no per-token host round trip. Greedy rows are handled by the same code path
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -93,15 +93,19 @@ def sample(
     *,
     needs_filters: bool = True,
     needs_penalties: bool = True,
+    mask: Optional[jax.Array] = None,  # [B, V] bool, True = allowed
 ) -> jax.Array:
     """Sample one token per row → [B] int32.
 
     needs_filters / needs_penalties are *static* flags the runner computes
     from the batch (all-greedy steps skip the [B, V] sort entirely), giving
     the same fast path the reference gets from caching the sampling strategy
-    at prefill (core/runner.rs:1390-1570).
+    at prefill (core/runner.rs:1390-1570). `mask` is the guided-decoding
+    token bitmask, applied before penalties (runner.rs:1390-1570 order).
     """
     logits = logits.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
     if needs_penalties:
         logits = apply_penalties(logits, st)
 
