@@ -52,6 +52,8 @@ class ModelConfig:
     hidden_act: str = "silu"
     # qwen3-style per-head q/k RMSNorm
     qk_norm: bool = False
+    # minimax-style per-head q/k L2 normalization (attention.rs:749-757)
+    qk_l2_norm: bool = False
     # gemma-style (weight + 1) norm semantics and embedding scaling
     norm_plus_one: bool = False
     embed_scale: float = 1.0
@@ -145,7 +147,8 @@ class ModelConfig:
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             attention_bias=cfg.get("attention_bias", cfg.get("qkv_bias", False)),
             hidden_act=cfg.get("hidden_act", "silu"),
-            qk_norm=mt in ("qwen3", "qwen3_moe"),
+            qk_norm=mt in ("qwen3", "qwen3_moe") or cfg.get("use_qk_norm", False),
+            qk_l2_norm=mt == "minimax" or cfg.get("qk_l2_norm", False),
             norm_plus_one=mt.startswith("gemma"),
             embed_scale=float(hidden) ** 0.5 if mt.startswith("gemma") else 1.0,
             final_logit_softcap=cfg.get("final_logit_softcapping", 0.0) or 0.0,

@@ -83,8 +83,7 @@ def attention_block(
     lp: dict,
     h: jax.Array,  # [B, T, D]
     meta: AttnMeta,
-    k_cache: jax.Array,  # [S, Hk, Dh]
-    v_cache: jax.Array,
+    kv_l,  # per-layer cache: bf16 [2, S, Hk*Dh] or int8 (data, scales)
     config: ModelConfig,
     *,
     block_size: int,
@@ -94,7 +93,7 @@ def attention_block(
 ):
     """Unified GQA attention (reference attention.rs Attention::forward_ext):
     qkv proj → optional per-head q/k RMSNorm (qwen3) → RoPE → paged attention
-    (KV write + attend) → o proj. Returns (attn_out [B,T,D], k_cache, v_cache).
+    (KV write + attend) → o proj. Returns (attn_out [B,T,D], kv_l).
     """
     B, T, _ = h.shape
     Hq = config.num_attention_heads
@@ -109,14 +108,21 @@ def attention_block(
         q = rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.norm_plus_one)
         k = rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.norm_plus_one)
 
+    if config.qk_l2_norm:  # minimax (attention.rs:749-757)
+        q = q * jax.lax.rsqrt(
+            jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True) + 1e-6
+        ).astype(q.dtype)
+        k = k * jax.lax.rsqrt(
+            jnp.sum(k.astype(jnp.float32) ** 2, axis=-1, keepdims=True) + 1e-6
+        ).astype(k.dtype)
+
     q, k = apply_rope(q, k, meta.positions, lp["inv_freq"], config.rotary_dim)
 
-    out, k_cache, v_cache = paged_attention(
+    out, kv_l = paged_attention(
         q,
         k,
         v,
-        k_cache,
-        v_cache,
+        kv_l,
         meta,
         block_size=block_size,
         scale=scale,
@@ -125,7 +131,7 @@ def attention_block(
         backend=attn_backend,
     )
     o = linear(lp["o"], out.reshape(B, T, Hq * Dh))
-    return o, k_cache, v_cache
+    return o, kv_l
 
 
 def gather_last_hidden(hidden: jax.Array, meta: AttnMeta) -> jax.Array:

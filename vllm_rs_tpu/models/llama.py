@@ -156,25 +156,23 @@ class CausalLM:
 
         return init_kv_cache(self.config, cache, dtype=dtype)
 
-    def attention(self, lp: dict, attn_in: jax.Array, meta: AttnMeta, kv_l: jax.Array):
+    def attention(self, lp: dict, attn_in: jax.Array, meta: AttnMeta, kv_l):
         """Per-layer attention hook: normed input → (attn_out, updated kv_l).
 
         The default is the unified GQA path (attention_block); MLA models
         override this (and init_kv_cache/_attn_params) only.
         """
-        attn_out, k_c, v_c = attention_block(
+        return attention_block(
             lp,
             attn_in,
             meta,
-            kv_l[0],
-            kv_l[1],
+            kv_l,
             self.config,
             block_size=self.block_size,
             scale=self.scale,
             sliding_window=self.config.sliding_window,
             attn_backend=self.attn_backend,
         )
-        return attn_out, jnp.stack([k_c, v_c])
 
     def forward(self, params: dict, token_ids: jax.Array, meta: AttnMeta, kv: jax.Array):
         """token_ids [B, T] → (updated kv [L,2,S,Hk,Dh], hidden [B,T,D])."""

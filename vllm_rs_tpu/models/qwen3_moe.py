@@ -180,6 +180,7 @@ class MoECausalLM(CausalLM):
             attn_out, kv_out = self.attention(lp, attn_in, meta, kv_l)
             return h + attn_out, kv_out
 
+        take = lambda lo, hi: jax.tree_util.tree_map(lambda x: x[lo:hi], kv)  # noqa: E731
         kv_parts = []
         if Ld:
             def dense_fn(h, xs):
@@ -192,7 +193,9 @@ class MoECausalLM(CausalLM):
                 )
                 return h, kv_out
 
-            h, kv_dense = jax.lax.scan(dense_fn, h, (params["dense_layers"], kv[:Ld]))
+            h, kv_dense = jax.lax.scan(
+                dense_fn, h, (params["dense_layers"], take(0, Ld))
+            )
             kv_parts.append(kv_dense)
 
         def moe_fn(h, xs):
@@ -202,7 +205,12 @@ class MoECausalLM(CausalLM):
             h = h + self._moe_block(lp, mlp_in)
             return h, kv_out
 
-        h, kv_moe = jax.lax.scan(moe_fn, h, (params["moe_layers"], kv[Ld:]))
+        h, kv_moe = jax.lax.scan(moe_fn, h, (params["moe_layers"], take(Ld, None)))
         kv_parts.append(kv_moe)
-        kv = jnp.concatenate(kv_parts, axis=0) if len(kv_parts) > 1 else kv_moe
+        if len(kv_parts) > 1:
+            kv = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), kv_parts[0], kv_parts[1]
+            )
+        else:
+            kv = kv_moe
         return kv, h

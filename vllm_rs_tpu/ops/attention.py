@@ -6,9 +6,11 @@ written to the paged cache via slot_mapping, then each query token attends
 over its sequence's pages under a causal mask, with optional logit
 softcapping (gemma) and sliding window.
 
-This file holds the O(max_context) gather-based jnp reference used on CPU
-and as ground truth; the Pallas TPU kernels live in ops/pallas/ and are
-selected by `paged_attention(...)` when running on TPU.
+The per-layer cache `kv_l` is either a bf16 array [2, S, Hk*D] or the int8
+pair (data, scales) — see ops/kv_cache.py. This file holds the
+O(max_context) gather-based jnp reference used on CPU and as ground truth;
+the Pallas TPU kernels live in ops/pallas/ and are selected when running
+on TPU (bf16 cache; the quantized cache currently dequantizes at gather).
 """
 
 from __future__ import annotations
@@ -20,34 +22,34 @@ import jax
 import jax.numpy as jnp
 
 from vllm_rs_tpu.ops.attn_meta import AttnMeta
-from vllm_rs_tpu.ops.kv_cache import gather_pages, write_kv
+from vllm_rs_tpu.ops.kv_cache import (
+    KVLayer,
+    gather_kv_layer,
+    is_quantized_kv,
+    write_kv_layer,
+)
 
 _NEG_INF = -1e30
 
 
-def paged_attention_reference(
+def attend_gathered(
     q: jax.Array,  # [B, T, Hq, D]
-    k_cache: jax.Array,  # [S, Hk*D] (already contains this step's writes)
-    v_cache: jax.Array,  # [S, Hk*D]
+    k: jax.Array,  # [B, C, Hk, D]
+    v: jax.Array,  # [B, C, Hk, D]
     meta: AttnMeta,
     *,
-    block_size: int,
     scale: float,
     logit_softcap: float = 0.0,
     sliding_window: int = 0,
 ) -> jax.Array:
-    """Gather-based paged attention. Returns [B, T, Hq, D] in q.dtype."""
+    """Reference attention over gathered pages. Returns [B, T, Hq, D]."""
     B, T, Hq, D = q.shape
-    Hk = k_cache.shape[1] // D
+    Hk = k.shape[2]
     groups = Hq // Hk
-
-    k = gather_pages(k_cache, meta.block_tables, block_size, Hk)  # [B, C, Hk, D]
-    v = gather_pages(v_cache, meta.block_tables, block_size, Hk)
     C = k.shape[1]
 
     qf = q.astype(jnp.float32) * scale
     kf = k.astype(jnp.float32)
-    # scores: [B, Hk, groups, T, C]
     qg = qf.reshape(B, T, Hk, groups, D)
     scores = jnp.einsum("bthgd,bchd->bhgtc", qg, kf)
     if logit_softcap > 0.0:
@@ -68,11 +70,9 @@ def paged_attention_reference(
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
-def paged_attention(
+def paged_attention_reference(
     q: jax.Array,
-    k_new: jax.Array,  # [B, T, Hk, D]
-    v_new: jax.Array,
-    k_cache: jax.Array,  # [S, Hk*D]
+    k_cache: jax.Array,  # [S, Hk*D] (already contains this step's writes)
     v_cache: jax.Array,
     meta: AttnMeta,
     *,
@@ -80,35 +80,52 @@ def paged_attention(
     scale: float,
     logit_softcap: float = 0.0,
     sliding_window: int = 0,
+) -> jax.Array:
+    """Gather-based paged attention over the two-array bf16 cache form."""
+    from vllm_rs_tpu.ops.kv_cache import gather_pages
+
+    D = q.shape[-1]
+    Hk = k_cache.shape[1] // D
+    k = gather_pages(k_cache, meta.block_tables, block_size, Hk)
+    v = gather_pages(v_cache, meta.block_tables, block_size, Hk)
+    return attend_gathered(
+        q, k, v, meta,
+        scale=scale, logit_softcap=logit_softcap, sliding_window=sliding_window,
+    )
+
+
+def paged_attention(
+    q: jax.Array,
+    k_new: jax.Array,  # [B, T, Hk, D]
+    v_new: jax.Array,
+    kv_l: KVLayer,
+    meta: AttnMeta,
+    *,
+    block_size: int,
+    scale: float,
+    logit_softcap: float = 0.0,
+    sliding_window: int = 0,
     backend: str = "auto",
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Write new KV then attend. Returns (out, k_cache, v_cache)."""
-    k_cache, v_cache = write_kv(k_cache, v_cache, k_new, v_new, meta.slot_mapping)
+) -> Tuple[jax.Array, KVLayer]:
+    """Write new KV then attend. Returns (out, kv_l)."""
+    kv_l = write_kv_layer(kv_l, k_new, v_new, meta.slot_mapping)
     if backend == "auto":
         platform = jax.default_backend()
         backend = "pallas" if platform == "tpu" else "reference"
-    if backend == "pallas":
+    if backend == "pallas" and not is_quantized_kv(kv_l):
         from vllm_rs_tpu.ops.pallas.paged_attention import paged_attention_pallas
 
         out = paged_attention_pallas(
-            q,
-            k_cache,
-            v_cache,
-            meta,
-            block_size=block_size,
-            scale=scale,
-            logit_softcap=logit_softcap,
-            sliding_window=sliding_window,
+            q, kv_l[0], kv_l[1], meta,
+            block_size=block_size, scale=scale,
+            logit_softcap=logit_softcap, sliding_window=sliding_window,
         )
     else:
-        out = paged_attention_reference(
-            q,
-            k_cache,
-            v_cache,
-            meta,
-            block_size=block_size,
-            scale=scale,
-            logit_softcap=logit_softcap,
+        Hk = k_new.shape[2]
+        k, v = gather_kv_layer(kv_l, meta.block_tables, block_size, Hk)
+        out = attend_gathered(
+            q, k, v, meta,
+            scale=scale, logit_softcap=logit_softcap,
             sliding_window=sliding_window,
         )
-    return out, k_cache, v_cache
+    return out, kv_l

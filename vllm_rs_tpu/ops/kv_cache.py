@@ -1,7 +1,9 @@
 """Paged KV cache storage.
 
 Layout (per layer, stacked over layers):
-    kv_cache: [num_layers, 2, num_slots, kv_heads * head_dim]
+    bf16: kv_cache [num_layers, 2, num_slots, kv_heads * head_dim]
+    int8: (data  [num_layers, 2, num_slots, kv_heads * head_dim] int8,
+           scales[num_layers, 2, num_slots, kv_heads] float32)
 with num_slots = num_blocks * block_size a flat "slot" axis and the head
 axis flattened into the feature axis. Slot-major so one *page* (block_size
 slots × all kv heads) is a single contiguous run of
@@ -21,52 +23,79 @@ Sharded layout: kv_heads is split over the mesh "model" axis (see
 parallel/sharding.py), so each chip holds its local heads for every block —
 the direct analogue of the reference's kv_head_shard (distributed.rs:498-538).
 
-Quantized KV (int8 / fp8) stores a per-slot-per-head scale alongside;
-see ops/kv_quant.py.
+Quantized KV (int8, the reference's FP8-KV analogue) stores per-slot
+per-head scales alongside; see ops/kv_quant.py.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 from vllm_rs_tpu.config import CacheConfig, ModelConfig
+from vllm_rs_tpu.ops.kv_quant import dequantize_kv_rows, quantize_kv_rows
+
+# per-layer cache: bf16 array [2, S, Hk*D] or (int8 data, f32 scales) pair
+KVLayer = Union[jax.Array, Tuple[jax.Array, jax.Array]]
 
 
 def init_kv_cache(
     model: ModelConfig, cache: CacheConfig, tp_size: int = 1, dtype=None
-) -> jax.Array:
-    """Allocate the KV pool: [L, 2, num_slots, kv_heads * head_dim].
+):
+    """Allocate the KV pool (stacked over layers; see module docstring)."""
+    L = model.num_hidden_layers
+    S = cache.num_slots
+    HkD = model.num_key_value_heads * model.head_dim_
+    if cache.kv_dtype in ("int8", "float8_e4m3fn"):
+        return (
+            jnp.zeros((L, 2, S, HkD), dtype=jnp.int8),
+            jnp.zeros((L, 2, S, model.num_key_value_heads), dtype=jnp.float32),
+        )
+    return jnp.zeros((L, 2, S, HkD), dtype=dtype or jnp.bfloat16)
 
-    The *global* array always keeps the model's logical kv heads; sharding
-    splits the head axis when divisible and replicates otherwise (the
-    analogue of the reference's kv_head_shard replication when
-    kv_heads < world_size, distributed.rs:498-538).
-    """
-    dtype = dtype or jnp.bfloat16
-    return jnp.zeros(
-        (
-            model.num_hidden_layers,
-            2,
-            cache.num_slots,
-            model.num_key_value_heads * model.head_dim_,
-        ),
-        dtype=dtype,
-    )
+
+def is_quantized_kv(kv_l: KVLayer) -> bool:
+    return isinstance(kv_l, tuple)
+
+
+def write_kv_layer(
+    kv_l: KVLayer,
+    k_new: jax.Array,  # [B, T, Hk, D]
+    v_new: jax.Array,
+    slot_mapping: jax.Array,  # [B, T] int32, pad == S (dropped)
+) -> KVLayer:
+    """Scatter this step's K/V rows into the per-layer pool."""
+    M = slot_mapping.size
+    flat_slots = slot_mapping.reshape(-1)
+    k_flat = k_new.reshape(M, -1)
+    v_flat = v_new.reshape(M, -1)
+    if is_quantized_kv(kv_l):
+        data, scales = kv_l
+        Hk = scales.shape[-1]
+        kq, ks = quantize_kv_rows(k_flat, Hk)
+        vq, vs = quantize_kv_rows(v_flat, Hk)
+        data = data.at[0, flat_slots].set(kq, mode="drop")
+        data = data.at[1, flat_slots].set(vq, mode="drop")
+        scales = scales.at[0, flat_slots].set(ks, mode="drop")
+        scales = scales.at[1, flat_slots].set(vs, mode="drop")
+        return (data, scales)
+    kv_l = kv_l.at[0, flat_slots].set(k_flat.astype(kv_l.dtype), mode="drop")
+    kv_l = kv_l.at[1, flat_slots].set(v_flat.astype(kv_l.dtype), mode="drop")
+    return kv_l
 
 
 def write_kv(
-    k_cache: jax.Array,  # [S, Hk*D]
-    v_cache: jax.Array,  # [S, Hk*D]
-    k_new: jax.Array,  # [B, T, Hk, D]
-    v_new: jax.Array,  # [B, T, Hk, D]
-    slot_mapping: jax.Array,  # [B, T] int32, pad == S (dropped)
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    slot_mapping: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Scatter this step's K/V rows into the pool (pad slots dropped)."""
+    """bf16 two-array form (kept for the Pallas kernel path + tests)."""
     M = slot_mapping.size
-    flat_slots = slot_mapping.reshape(-1)  # [M]
+    flat_slots = slot_mapping.reshape(-1)
     k_flat = k_new.reshape(M, -1).astype(k_cache.dtype)
     v_flat = v_new.reshape(M, -1).astype(v_cache.dtype)
     k_cache = k_cache.at[flat_slots].set(k_flat, mode="drop")
@@ -92,3 +121,30 @@ def gather_pages(
     out = paged[block_tables]  # [B, MB, bs, Hk*D]
     B, MB = block_tables.shape
     return out.reshape(B, MB * block_size, num_kv_heads, HkD // num_kv_heads)
+
+
+def gather_kv_layer(
+    kv_l: KVLayer,
+    block_tables: jax.Array,
+    block_size: int,
+    num_kv_heads: int,
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Gather + (if needed) dequantize pages → (k, v) each [B, C, Hk, D]."""
+    if not is_quantized_kv(kv_l):
+        return (
+            gather_pages(kv_l[0], block_tables, block_size, num_kv_heads),
+            gather_pages(kv_l[1], block_tables, block_size, num_kv_heads),
+        )
+    data, scales = kv_l
+    S = data.shape[1]
+    nb = S // block_size
+    B, MB = block_tables.shape
+    C = MB * block_size
+    dq = data.reshape(2, nb, block_size, -1)[:, block_tables]  # [2,B,MB,bs,HkD]
+    sq = scales.reshape(2, nb, block_size, -1)[:, block_tables]  # [2,B,MB,bs,Hk]
+    dq = dq.reshape(2, B, C, dq.shape[-1])
+    sq = sq.reshape(2, B, C, num_kv_heads)
+    k = dequantize_kv_rows(dq[0], sq[0], dtype).reshape(B, C, num_kv_heads, -1)
+    v = dequantize_kv_rows(dq[1], sq[1], dtype).reshape(B, C, num_kv_heads, -1)
+    return k, v

@@ -86,5 +86,10 @@ def kv_spec(num_kv_heads: int, mesh: Mesh) -> P:
     return P()
 
 
-def shard_kv_cache(kv: jax.Array, mesh: Mesh, num_kv_heads: int) -> jax.Array:
-    return jax.device_put(kv, NamedSharding(mesh, kv_spec(num_kv_heads, mesh)))
+def shard_kv_cache(kv, mesh: Mesh, num_kv_heads: int):
+    """Shard the cache; the int8 (data, scales) pair shards both leaves on
+    the kv-head axis (scales' last dim IS the head axis)."""
+    spec = kv_spec(num_kv_heads, mesh)
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, spec)), kv
+    )
