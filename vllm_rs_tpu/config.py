@@ -64,6 +64,9 @@ class ModelConfig:
     sliding_window: int = 0
     # every `sliding_window_pattern`-th layer is global, others sliding (gemma3)
     sliding_window_pattern: int = 1
+    # explicit per-layer window sizes (0 = global); overrides the pattern.
+    # derived from HF `layer_types` or the pattern in from_hf_dict
+    layer_windows: tuple = ()
     # MoE
     num_experts: int = 0
     num_experts_per_tok: int = 0
@@ -130,6 +133,20 @@ class ModelConfig:
         rope_scaling = cfg.get("rope_scaling") or None
         if rope_scaling:
             rope_scaling = tuple(sorted(rope_scaling.items(), key=lambda kv: kv[0]))
+        # per-layer sliding windows (gemma3-style): HF `layer_types` list, or
+        # every sliding_window_pattern-th layer global
+        sw = cfg.get("sliding_window", 0) or 0
+        swp = cfg.get("sliding_window_pattern", 1) or 1
+        L = cfg.get("num_hidden_layers", 32)
+        layer_windows: tuple = ()
+        if isinstance(cfg.get("layer_types"), list):
+            layer_windows = tuple(
+                sw if t == "sliding_attention" else 0 for t in cfg["layer_types"]
+            )
+        elif sw and swp > 1:
+            layer_windows = tuple(
+                sw if (i + 1) % swp != 0 else 0 for i in range(L)
+            )
         return ModelConfig(
             model_type=mt,
             hidden_size=hidden,
@@ -153,8 +170,9 @@ class ModelConfig:
             embed_scale=float(hidden) ** 0.5 if mt.startswith("gemma") else 1.0,
             final_logit_softcap=cfg.get("final_logit_softcapping", 0.0) or 0.0,
             attn_logit_softcap=cfg.get("attn_logit_softcapping", 0.0) or 0.0,
-            sliding_window=cfg.get("sliding_window", 0) or 0,
-            sliding_window_pattern=cfg.get("sliding_window_pattern", 1) or 1,
+            sliding_window=sw,
+            sliding_window_pattern=swp,
+            layer_windows=layer_windows,
             num_experts=cfg.get(
                 "num_experts",
                 cfg.get("num_local_experts", cfg.get("n_routed_experts", 0)),

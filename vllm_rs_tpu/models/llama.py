@@ -128,6 +128,8 @@ class CausalLM:
         if cfg.qk_norm:
             layers["q_norm"] = jnp.ones((L, Dh), dtype=dtype)
             layers["k_norm"] = jnp.ones((L, Dh), dtype=dtype)
+        if cfg.layer_windows:
+            layers["window"] = jnp.asarray(cfg.layer_windows, dtype=jnp.int32)
         params = {
             "embed": (jax.random.normal(next(keys), (V, D), dtype=jnp.float32) * 0.02).astype(dtype),
             "layers": layers,
@@ -162,6 +164,9 @@ class CausalLM:
         The default is the unified GQA path (attention_block); MLA models
         override this (and init_kv_cache/_attn_params) only.
         """
+        # per-layer window (gemma3 pattern): traced scalar from the scanned
+        # layer params; uniform static window otherwise
+        window = lp.get("window", self.config.sliding_window)
         return attention_block(
             lp,
             attn_in,
@@ -170,7 +175,7 @@ class CausalLM:
             self.config,
             block_size=self.block_size,
             scale=self.scale,
-            sliding_window=self.config.sliding_window,
+            sliding_window=window,
             attn_backend=self.attn_backend,
         )
 

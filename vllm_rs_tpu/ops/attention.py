@@ -59,7 +59,10 @@ def attend_gathered(
     qpos = meta.positions[:, None, None, :, None]  # [B,1,1,T,1]
     ctx = meta.context_lens[:, None, None, None, None]
     mask = (kpos <= qpos) & (kpos < ctx)
-    if sliding_window > 0:
+    if isinstance(sliding_window, jax.Array):  # per-layer traced window
+        sw = sliding_window.astype(jnp.int32)
+        mask &= (sw <= 0) | (kpos > qpos - sw)
+    elif sliding_window > 0:
         mask &= kpos > qpos - sliding_window
     scores = jnp.where(mask, scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)

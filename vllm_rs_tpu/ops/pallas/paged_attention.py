@@ -38,6 +38,7 @@ def _decode_kernel(
     # scalar prefetch
     bt_ref,  # [B, MB] int32 block tables
     cl_ref,  # [B] int32 context lens
+    sw_ref,  # [1] int32 sliding window (0 = global attention)
     # tensors
     q_ref,  # [1, Hk, G, D]
     *refs,  # P k-page refs, P v-page refs ([bs, Hk*D]), out, m, l, acc
@@ -45,7 +46,6 @@ def _decode_kernel(
     block_size: int,
     scale: float,
     logit_softcap: float,
-    sliding_window: int,
     num_steps: int,
     num_kv_heads: int,
     head_dim: int,
@@ -67,11 +67,12 @@ def _decode_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     base = j * P * block_size
+    sw = sw_ref[0]
     valid_step = base < ctx
-    if sliding_window > 0:
-        valid_step = jnp.logical_and(
-            valid_step, base + P * block_size > ctx - sliding_window
-        )
+    valid_step = jnp.logical_and(
+        valid_step,
+        jnp.logical_or(sw <= 0, base + P * block_size > ctx - sw),
+    )
 
     @pl.when(valid_step)
     def _():
@@ -102,8 +103,9 @@ def _decode_kernel(
             jnp.int32, (1, P * block_size), dimension=1
         )
         mask = kpos < ctx
-        if sliding_window > 0:
-            mask = jnp.logical_and(mask, kpos >= ctx - sliding_window)
+        mask = jnp.logical_and(
+            mask, jnp.logical_or(sw <= 0, kpos >= ctx - sw)
+        )
         scores = jnp.where(mask, scores, _NEG_INF)
 
         m_prev = m_ref[...]  # [Hk*G, 128] (value broadcast across lanes)
@@ -138,7 +140,7 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "block_size", "scale", "logit_softcap", "sliding_window",
+        "block_size", "scale", "logit_softcap",
         "pages_per_step", "interpret",
     ),
 )
@@ -148,11 +150,11 @@ def _decode_call(
     v_cache,
     block_tables,  # [B, MB]
     context_lens,  # [B]
+    window,  # [1] int32 (0 = global)
     *,
     block_size: int,
     scale: float,
     logit_softcap: float,
-    sliding_window: int,
     pages_per_step: int,
     interpret: bool,
 ):
@@ -162,7 +164,7 @@ def _decode_call(
     num_steps = -(-MB // P)
 
     def page_index(t):
-        def idx(b, j, bt_ref, cl_ref):
+        def idx(b, j, bt_ref, cl_ref, sw_ref):
             ctx = cl_ref[b]
             last = jnp.maximum(ctx - 1, 0) // block_size
             page = jnp.minimum(j * P + t, last)
@@ -174,14 +176,14 @@ def _decode_call(
         pl.BlockSpec((block_size, Hk * D), page_index(t)) for t in range(P)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, num_steps),
         in_specs=[
-            pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl, sw: (b, 0, 0, 0)),
             *kv_specs,
             *kv_specs,
         ],
-        out_specs=pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl, sw: (b, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((Hk * G, 128), jnp.float32),  # m
             pltpu.VMEM((Hk * G, 128), jnp.float32),  # l
@@ -194,7 +196,6 @@ def _decode_call(
         block_size=block_size,
         scale=scale,
         logit_softcap=logit_softcap,
-        sliding_window=sliding_window,
         num_steps=num_steps,
         num_kv_heads=Hk,
         head_dim=D,
@@ -210,6 +211,7 @@ def _decode_call(
     )(
         block_tables,
         context_lens,
+        window,
         q,
         *([k_cache] * P),
         *([v_cache] * P),
@@ -280,16 +282,20 @@ def paged_attention_decode_pallas(
     MB = meta.block_tables.shape[1]
     P = min(pages_per_step, MB)
     qg = q.reshape(B, Hk, G, D)
+    if isinstance(sliding_window, jax.Array):
+        window = sliding_window.astype(jnp.int32).reshape(1)
+    else:
+        window = jnp.full((1,), int(sliding_window), dtype=jnp.int32)
     out = _decode_call(
         qg,
         k_cache,
         v_cache,
         meta.block_tables,
         meta.context_lens,
+        window,
         block_size=block_size,
         scale=float(scale),
         logit_softcap=float(logit_softcap),
-        sliding_window=int(sliding_window),
         pages_per_step=P,
         interpret=bool(interpret),
     )

@@ -148,6 +148,9 @@ def _attn_common(ld: _Loader, p: str) -> dict:
     if cfg.qk_norm:
         d["q_norm"] = ld.norm(f"{p}.self_attn.q_norm")
         d["k_norm"] = ld.norm(f"{p}.self_attn.k_norm")
+    if cfg.layer_windows:
+        i = int(p.rsplit(".", 1)[1])
+        d["window"] = jnp.asarray(cfg.layer_windows[i], dtype=jnp.int32)
     return d
 
 
