@@ -19,26 +19,35 @@ from typing import Dict, List, Optional, Sequence, Tuple
 ROOT_HASH = 0
 
 
+_FNV_OFFSET = 1469598103934665603
+_FNV_PRIME = 1099511628211
+_M64 = (1 << 64) - 1
+
+
 def _hash_block(parent_hash: int, tokens: Sequence[int], seed: Optional[int] = None) -> int:
-    """Stable chained hash of one block's tokens under its parent."""
-    key: Tuple = (parent_hash, tuple(tokens))
+    """Chained 64-bit FNV-1a of one block's tokens under its parent.
+
+    Byte-for-byte identical to the native hash_token_blocks
+    (csrc/gguf_dequant.cpp) so native and Python paths interoperate: parent
+    hash as 8 LE bytes, then each token as 4 LE bytes; an image seed (VL
+    prompts, block_manager.rs:146-177) is mixed as 8 extra LE bytes.
+    """
+    parent = parent_hash if parent_hash else _FNV_OFFSET
+    h = _FNV_OFFSET
+    for i in range(8):
+        h ^= (parent >> (8 * i)) & 0xFF
+        h = (h * _FNV_PRIME) & _M64
+    for t in tokens:
+        v = int(t) & 0xFFFFFFFF
+        for i in range(4):
+            h ^= (v >> (8 * i)) & 0xFF
+            h = (h * _FNV_PRIME) & _M64
     if seed is not None:
-        key = key + (seed,)
-    # Python's hash() is salted per-process for str but stable for ints/tuples
-    # of ints; still, use a fixed mixer for determinism across runs.
-    h = 1469598103934665603  # FNV offset
-    for v in _flatten(key):
-        h ^= (v + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        h = (h * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        s = int(seed) & _M64
+        for i in range(8):
+            h ^= (s >> (8 * i)) & 0xFF
+            h = (h * _FNV_PRIME) & _M64
     return h or 1  # avoid colliding with ROOT_HASH
-
-
-def _flatten(key):
-    for v in key:
-        if isinstance(v, tuple):
-            yield from _flatten(v)
-        else:
-            yield int(v)
 
 
 class _Entry:
@@ -80,9 +89,21 @@ class PrefixCache:
         image_first_block: int = 0,
     ) -> List[int]:
         """Chained hashes for every *full* block of token_ids."""
+        n_full = len(token_ids) // self.block_size
+        if image_seed is None and n_full >= 4:
+            # native chained FNV-1a (csrc/gguf_dequant.cpp hash_token_blocks)
+            from vllm_rs_tpu.native import native_hash_blocks
+
+            import numpy as np
+
+            out = native_hash_blocks(
+                np.asarray(token_ids[: n_full * self.block_size], dtype=np.int32),
+                self.block_size,
+            )
+            if out is not None:
+                return [int(h) or 1 for h in out]
         hashes = []
         parent = ROOT_HASH
-        n_full = len(token_ids) // self.block_size
         for b in range(n_full):
             blk = token_ids[b * self.block_size : (b + 1) * self.block_size]
             seed = image_seed if (image_seed is not None and b == image_first_block) else None

@@ -176,7 +176,14 @@ def _split_nibbles(qs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def dequantize_ggml(raw: np.ndarray, dtype: int) -> np.ndarray:
-    """raw uint8 buffer → float32 flat array."""
+    """raw uint8 buffer → float32 flat array (native C++ fast path when the
+    toolchain is available; vectorized numpy otherwise)."""
+    if dtype != GGML_F32:
+        from vllm_rs_tpu.native import native_dequantize_ggml
+
+        out = native_dequantize_ggml(raw, dtype)
+        if out is not None:
+            return out
     if dtype == GGML_F32:
         return raw.view(np.float32).copy()
     if dtype == GGML_F16:
