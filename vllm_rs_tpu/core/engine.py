@@ -78,7 +78,12 @@ class LLMEngine:
             econfig.cache.block_size,
             prefix_cache_enabled=econfig.scheduler.prefix_cache_enabled,
         )
-        self.scheduler = Scheduler(econfig.scheduler, self.block_manager)
+        # CPU KV swap enabled via cache.num_swap_blocks (reference
+        # block_manager.rs:876-1001 swap pool)
+        swap_backend = runner if econfig.cache.num_swap_blocks > 0 else None
+        self.scheduler = Scheduler(
+            econfig.scheduler, self.block_manager, swap_backend=swap_backend
+        )
         self.scheduler.set_eos_token_ids(econfig.model.eos_token_ids)
         self.requests: Dict[int, _RequestState] = {}
         self._lock = threading.Lock()

@@ -77,6 +77,23 @@ class ModelRunner:
         self._jit_embed = jax.jit(
             self._embed_impl, static_argnames=("pooling",), donate_argnames=("kv",)
         )
+        # CPU KV swap (reference cache::swap_blocks, core/runner.rs:1626-1645):
+        # gather/scatter whole blocks' slots along the cache's S axis
+        self._jit_gather_slots = jax.jit(
+            lambda kv, slots: jax.tree_util.tree_map(
+                lambda leaf: jnp.take(leaf, slots, axis=leaf.ndim - 2), kv
+            )
+        )
+        self._jit_scatter_slots = jax.jit(
+            lambda kv, slots, data: jax.tree_util.tree_map(
+                lambda leaf, d: leaf.at[..., slots, :].set(
+                    d.astype(leaf.dtype), mode="drop"
+                ),
+                kv,
+                data,
+            ),
+            donate_argnums=(0,),
+        )
 
     # ------------------------------------------------------------------
     # jitted step
@@ -288,6 +305,24 @@ class ModelRunner:
         )
         host_tokens = np.asarray(tokens)
         return [int(host_tokens[i]) for i in range(len(batch.seqs))]
+
+    def _slots_of_blocks(self, block_table: List[int]) -> np.ndarray:
+        bs = self.block_size
+        return (
+            np.asarray(block_table, dtype=np.int32)[:, None] * bs
+            + np.arange(bs, dtype=np.int32)[None, :]
+        ).reshape(-1)
+
+    def swap_out(self, block_table: List[int]):
+        """Copy the blocks' KV to host memory → host pytree (numpy)."""
+        slots = jnp.asarray(self._slots_of_blocks(block_table))
+        data = self._jit_gather_slots(self.kv, slots)
+        return jax.tree_util.tree_map(np.asarray, data)  # blocks until ready
+
+    def swap_in(self, host_data, block_table: List[int]) -> None:
+        """Scatter host KV data back into (newly allocated) blocks."""
+        slots = jnp.asarray(self._slots_of_blocks(block_table))
+        self.kv = self._jit_scatter_slots(self.kv, slots, host_data)
 
     def warmup(self) -> None:
         """Pre-compile the common (B, T) buckets — the analogue of the

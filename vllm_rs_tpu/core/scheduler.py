@@ -50,11 +50,21 @@ class ScheduledBatch:
 
 
 class Scheduler:
-    def __init__(self, config: SchedulerConfig, block_manager: BlockManager):
+    def __init__(
+        self,
+        config: SchedulerConfig,
+        block_manager: BlockManager,
+        swap_backend=None,
+    ):
         self.config = config
         self.bm = block_manager
         self.waiting: Deque[Sequence] = deque()
         self.running: List[Sequence] = []
+        # CPU-swapped sequences: seq → host KV pytree (reference
+        # try_swap_out/try_swap_in, scheduler.rs:830-1006)
+        self.swapped: Deque[Sequence] = deque()
+        self._swap_data: dict = {}
+        self.swap_backend = swap_backend
         self._consecutive_prefills = 0
 
     # -- admission -----------------------------------------------------------
@@ -64,27 +74,29 @@ class Scheduler:
         self.waiting.append(seq)
 
     def abort(self, seq_id: int) -> Optional[Sequence]:
-        for q in (self.waiting, self.running):
+        for q in (self.waiting, self.running, self.swapped):
             for s in list(q):
                 if s.seq_id == seq_id:
                     q.remove(s)
                     if s.block_table:
                         self.bm.free_seq(s, cache=False)
+                    self._swap_data.pop(seq_id, None)
                     s.finish(FinishReason.ABORT)
                     return s
         return None
 
     @property
     def num_active(self) -> int:
-        return len(self.waiting) + len(self.running)
+        return len(self.waiting) + len(self.running) + len(self.swapped)
 
     def has_work(self) -> bool:
-        return bool(self.waiting or self.running)
+        return bool(self.waiting or self.running or self.swapped)
 
     # -- scheduling ----------------------------------------------------------
 
     def schedule(self) -> ScheduledBatch:
         self._relieve_prefix_pressure()
+        self._try_swap_in()
         want_prefill = bool(self.waiting) and (
             not self.running
             or self._consecutive_prefills < self.config.max_consecutive_prefills
@@ -166,9 +178,35 @@ class Scheduler:
         return batch
 
     def _preempt(self, seq: Sequence) -> None:
+        """Evict a running sequence under KV pressure: swap its KV to host
+        when a swap backend exists (scheduler.rs try_swap_out :904),
+        recompute otherwise."""
+        if self.swap_backend is not None:
+            self._swap_data[seq.seq_id] = self.swap_backend.swap_out(seq.block_table)
+            seq.swapped_num_blocks = len(seq.block_table)
+            self.bm.free_seq(seq, cache=False)
+            seq.block_table = []
+            seq.status = SequenceStatus.SWAPPED
+            self.swapped.append(seq)
+            return
         self.bm.free_seq(seq, cache=False)
         seq.reset_for_recompute()
         self.waiting.appendleft(seq)
+
+    def _try_swap_in(self) -> None:
+        """Resume swapped sequences when blocks free up (with one spare
+        block of headroom per seq so the next decode steps don't thrash)."""
+        while self.swapped:
+            seq = self.swapped[0]
+            needed = seq.swapped_num_blocks + 1
+            if self.bm.num_free < needed or len(self.running) >= self.config.max_num_seqs:
+                return
+            self.swapped.popleft()
+            blocks = [self.bm._alloc_block() for _ in range(seq.swapped_num_blocks)]
+            seq.block_table = blocks
+            self.swap_backend.swap_in(self._swap_data.pop(seq.seq_id), blocks)
+            seq.status = SequenceStatus.RUNNING
+            self.running.append(seq)
 
     def _relieve_prefix_pressure(self) -> None:
         cfg = self.config

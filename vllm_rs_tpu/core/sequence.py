@@ -57,6 +57,8 @@ class Sequence:
         self.finish_reason: Optional[FinishReason] = None
         # guided-decoding state (utils/guidance.GuidanceState) or None
         self.guidance = None
+        # block count at swap-out time (CPU swap, scheduler.rs:830-1006)
+        self.swapped_num_blocks = 0
         # paged-KV block table (logical block ids into the device pool)
         self.block_table: List[int] = []
         # tokens whose KV already exists in the cache (prefix hits + chunks)
