@@ -55,3 +55,61 @@ def test_3d_input():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+class TestA8Kernels:
+    """w8a8 / w4a8 decode kernels (int8 MXU path) vs dequant reference."""
+
+    def _check(self, qt, M=8, K=256, rtol=0.04):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vllm_rs_tpu.ops.pallas.quant_matmul import (
+            _int4_matmul_a8,
+            _int8_matmul_a8,
+        )
+        from vllm_rs_tpu.ops.quant_matmul import quant_matmul_reference
+        from vllm_rs_tpu.quant.pack import PackedInt4Tensor
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (M, K), dtype=jnp.bfloat16)
+        expect = np.asarray(quant_matmul_reference(x, qt), np.float32)
+        if isinstance(qt, PackedInt4Tensor):
+            got = _int4_matmul_a8(x, qt.qweight, qt.scales, qt.zeros, interpret=True)
+        else:
+            got = _int8_matmul_a8(x, qt.qweight, qt.scales, qt.zeros, interpret=True)
+        got = np.asarray(got, np.float32)
+        scale = np.abs(expect).max() + 1e-6
+        assert np.abs(got - expect).max() / scale < rtol, (
+            np.abs(got - expect).max() / scale
+        )
+
+    def test_w8a8(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vllm_rs_tpu.quant.pack import quantize_int8
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 256), dtype=jnp.float32) * 0.05
+        self._check(quantize_int8(w, group=64))
+
+    def test_w4a8_symmetric(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vllm_rs_tpu.quant.pack import quantize_int4
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 256), dtype=jnp.float32) * 0.05
+        self._check(quantize_int4(w, group=64, symmetric=True))
+
+    def test_w4a8_asymmetric_zeros(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vllm_rs_tpu.quant.pack import quantize_int4
+
+        w = (
+            jax.random.normal(jax.random.PRNGKey(2), (256, 256), dtype=jnp.float32) * 0.04
+            + 0.02
+        )
+        self._check(quantize_int4(w, group=64, symmetric=False), rtol=0.05)

@@ -1,4 +1,4 @@
-"""Fused dequantize × matmul Pallas kernels (w4a16 / w8a16).
+"""Fused dequantize × matmul Pallas kernels (w4/w8 × a16/a8).
 
 TPU counterpart of the reference's Marlin / GGUF-QMatMul GEMMs
 (wna16.rs, utils/gptq.rs, linear.rs): weights stream from HBM in their
@@ -9,11 +9,24 @@ zero z_g:
     y = x @ ((q - z_g) * s_g)
       = Σ_g  s_g * (x_g @ q_g)  -  (s_g z_g) * Σ_k∈g x_k
 
-so the kernel never materializes per-row scale matrices (a sublane-crossing
-broadcast that measured ~20x slower); it does one MXU dot per group plus a
-row-vector multiply and (for asymmetric int4) a rank-1 correction. The dot
-runs on integer-valued bf16 (exact up to |q| ≤ 127) and accumulates f32 —
-numerically *tighter* than pre-dequantized bf16 weights.
+so the kernel never materializes per-row scale matrices; it does one MXU
+dot per group plus a row-vector multiply and (for asymmetric formats) a
+rank-1 correction.
+
+Two activation modes, mirroring the reference's is_prefill dispatch
+(linear.rs:20-45) but driven by the hardware:
+
+- **a16** (prefill, M large): the group dot runs on integer-valued bf16
+  (exact up to |q| ≤ 127), f32 accumulation. At large M the MXU amortizes
+  rows, so the bf16 path is both fastest and most accurate.
+- **a8** (decode, M small): at M ≤ 128 every MXU pass carries at most 128
+  rows, so decode is *MXU-pass-bound*, not byte-bound — measured on v5e:
+  bf16 passes cap at ~470 Gelem/s while the MXU's native s8×s8 mode runs
+  ~845 Gelem/s, i.e. full HBM line rate for int8 weights. Activations are
+  quantized per-token to int8 (absmax/127), the group dot accumulates
+  int32 on the int8 MXU, and scales fold in as s_g · s_x[m] afterwards.
+  Measured: w8a8 513 GB/s, w4a8 377 GB/s(i4) vs 224 GB/s(i4) for the a16
+  kernel — 1.7-2.3x on the batch-1 decode path.
 
 int4 uses the split-half packed layout (quant/pack.py): byte row i of
 qweight [K//2, N] holds W[i] (low nibble) and W[i + K/2] (high nibble), so
@@ -236,6 +249,197 @@ def _int8_matmul(x, qweight, scales, *, interpret=False, out_dtype=jnp.bfloat16)
     return out[:M] if Mp != M else out
 
 
+# ---------------------------------------------------------------------------
+# a8 decode kernels: per-token int8 activations on the native s8xs8 MXU
+# ---------------------------------------------------------------------------
+
+
+def _quantize_rows_int8(x: jax.Array):
+    """Per-row absmax int8 quantization → (q [M,K] i8, scale [M,1] f32)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    xs = jnp.maximum(amax / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return q, xs
+
+
+def _w8a8_kernel(
+    xs_ref, x_ref, w_ref, s_ref, sz_ref, out_ref, acc_ref,
+    *, n_k: int, group: int, has_zeros: bool,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[...]  # [BK, BN] int8
+    n_g = w.shape[0] // group
+    acc = acc_ref[...]
+    for g in range(n_g):
+        sl = slice(g * group, (g + 1) * group)
+        xg = x_ref[:, sl]
+        p = jax.lax.dot_general(
+            xg, w[sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        acc += p.astype(jnp.float32) * s_ref[0, g]
+        if has_zeros:
+            sx = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            acc -= sx * sz_ref[0, g]
+    acc_ref[...] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[...] = (acc_ref[...] * xs_ref[:, :1]).astype(out_ref.dtype)
+
+
+def _w4a8_kernel(
+    xs_ref, x_ref, w_ref, s_lo_ref, s_hi_ref, sz_lo_ref, sz_hi_ref,
+    out_ref, acc_ref, *, n_k: int, group: int, has_zeros: bool,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[...]  # [BKp, BN] packed int8
+    w32 = w.astype(jnp.int32)
+    lo = ((w32 << 28) >> 28).astype(jnp.int8)
+    hi = (w32 >> 4).astype(jnp.int8)
+    BKp = w.shape[0]
+    n_g = BKp // group
+    acc = acc_ref[...]
+    for g in range(n_g):
+        sl = slice(g * group, (g + 1) * group)
+        x_lo = x_ref[:, sl]
+        x_hi = x_ref[:, BKp + g * group : BKp + (g + 1) * group]
+        p_lo = jax.lax.dot_general(
+            x_lo, lo[sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        p_hi = jax.lax.dot_general(
+            x_hi, hi[sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        acc += p_lo.astype(jnp.float32) * s_lo_ref[0, g]
+        acc += p_hi.astype(jnp.float32) * s_hi_ref[0, g]
+        if has_zeros:
+            sx_lo = jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
+            sx_hi = jnp.sum(x_hi.astype(jnp.float32), axis=1, keepdims=True)
+            acc -= sx_lo * sz_lo_ref[0, g]
+            acc -= sx_hi * sz_hi_ref[0, g]
+    acc_ref[...] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[...] = (acc_ref[...] * xs_ref[:, :1]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def _int8_matmul_a8(x, qweight, scales, zeros, *, interpret=False, out_dtype=jnp.bfloat16):
+    M, K = x.shape
+    _, N = qweight.shape
+    KG = scales.shape[0]
+    G = K // KG
+    BM, BK, BN = _pick_tiles(M, K, N, G)
+    n_k = K // BK
+    n_g = BK // G
+    s_t = scales.reshape(n_k, n_g, N)
+    has_zeros = zeros is not None
+    sz_t = (scales * zeros).reshape(n_k, n_g, N) if has_zeros else s_t
+
+    xq, xs = _quantize_rows_int8(x)
+    Mp = _round_up(M, BM)
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+        xs = jnp.pad(xs, ((0, Mp - M), (0, 0)))
+
+    sspec = pl.BlockSpec((1, n_g, BN), lambda m, n, k: (k, 0, n))
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, n_k=n_k, group=G, has_zeros=has_zeros),
+        grid=(_cdiv(Mp, BM), N // BN, n_k),
+        in_specs=[
+            pl.BlockSpec((BM, 1), lambda m, n, k: (m, 0)),
+            pl.BlockSpec((BM, BK), lambda m, n, k: (m, k)),
+            pl.BlockSpec((BK, BN), lambda m, n, k: (k, n)),
+            sspec, sspec,
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=K * N + KG * N * 4 + Mp * K + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs.astype(jnp.float32), xq, qweight, s_t, sz_t)
+    return out[:M] if Mp != M else out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def _int4_matmul_a8(x, qweight, scales, zeros, *, interpret=False, out_dtype=jnp.bfloat16):
+    M, K = x.shape
+    Kh, N = qweight.shape
+    KG = scales.shape[0]
+    G = K // KG
+    BM, BKp, BN = _pick_tiles(M, Kh, N, G)
+    n_k = Kh // BKp
+    n_g = BKp // G
+
+    s_lo = scales[: KG // 2].reshape(n_k, n_g, N)
+    s_hi = scales[KG // 2 :].reshape(n_k, n_g, N)
+    has_zeros = zeros is not None
+    if has_zeros:
+        sz = scales * zeros
+        sz_lo = sz[: KG // 2].reshape(n_k, n_g, N)
+        sz_hi = sz[KG // 2 :].reshape(n_k, n_g, N)
+    else:
+        sz_lo, sz_hi = s_lo, s_hi
+
+    xq, xs = _quantize_rows_int8(x)
+    # interleave halves so each k-step's rows are contiguous: [lo_k | hi_k]
+    xl = xq[:, : K // 2].reshape(M, n_k, BKp)
+    xh = xq[:, K // 2 :].reshape(M, n_k, BKp)
+    xx = jnp.concatenate([xl, xh], axis=2).reshape(M, n_k * 2 * BKp)
+
+    Mp = _round_up(M, BM)
+    if Mp != M:
+        xx = jnp.pad(xx, ((0, Mp - M), (0, 0)))
+        xs = jnp.pad(xs, ((0, Mp - M), (0, 0)))
+
+    sspec = pl.BlockSpec((1, n_g, BN), lambda m, n, k: (k, 0, n))
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel, n_k=n_k, group=G, has_zeros=has_zeros),
+        grid=(_cdiv(Mp, BM), N // BN, n_k),
+        in_specs=[
+            pl.BlockSpec((BM, 1), lambda m, n, k: (m, 0)),
+            pl.BlockSpec((BM, 2 * BKp), lambda m, n, k: (m, k)),
+            pl.BlockSpec((BKp, BN), lambda m, n, k: (k, n)),
+            sspec, sspec, sspec, sspec,
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Kh * N + KG * N * 8 + Mp * K + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs.astype(jnp.float32), xx, qweight, s_lo, s_hi, sz_lo, sz_hi)
+    return out[:M] if Mp != M else out
+
+
+# decode batches (M ≤ this) take the a8 path; prefill stays a16
+A8_MAX_ROWS = 64
+
+
 def _supported(qt: AnyQuantTensor, M: int) -> bool:
     K, N = qt.shape
     G = qt.group_size
@@ -261,8 +465,15 @@ def quant_matmul_pallas(
         from vllm_rs_tpu.ops.quant_matmul import quant_matmul_reference
 
         return quant_matmul_reference(x, qt)
+    use_a8 = x2.shape[0] <= A8_MAX_ROWS and not interpret
     if isinstance(qt, PackedInt4Tensor):
-        y = _int4_matmul(x2, qt.qweight, qt.scales, qt.zeros, interpret=interpret)
+        if use_a8:
+            y = _int4_matmul_a8(x2, qt.qweight, qt.scales, qt.zeros, interpret=interpret)
+        else:
+            y = _int4_matmul(x2, qt.qweight, qt.scales, qt.zeros, interpret=interpret)
     else:
-        y = _int8_matmul(x2, qt.qweight, qt.scales, interpret=interpret)
+        if use_a8:
+            y = _int8_matmul_a8(x2, qt.qweight, qt.scales, qt.zeros, interpret=interpret)
+        else:
+            y = _int8_matmul(x2, qt.qweight, qt.scales, interpret=interpret)
     return y.reshape(*lead, y.shape[-1]).astype(x.dtype)
