@@ -44,7 +44,13 @@ def build(size: str):
             eos_token_ids=(128001,),
         )
         cache = CacheConfig(block_size=16, num_blocks=512)  # 8192 slots
-        sched = SchedulerConfig(max_num_seqs=8, chunk_size=1024, max_model_len=2048)
+        # multi-step on-device decode: 32 tokens per engine step amortizes
+        # the host round trip (this dev environment tunnels the TPU with
+        # ~70ms RTT; on directly-attached hosts the sync cost is ~us)
+        sched = SchedulerConfig(
+            max_num_seqs=8, chunk_size=1024, max_model_len=2048,
+            multi_step_decode=32,
+        )
         quant = "int4"
     else:
         model = ModelConfig(

@@ -256,6 +256,9 @@ class SchedulerConfig:
     prefix_cache_evict_to_ratio: float = 0.5
     # KV pressure: swap out / preempt when used blocks exceed this ratio
     kv_pressure_ratio: float = 0.95
+    # on-device multi-step decode: tokens generated per engine step for
+    # unguided, non-stop-string sequences (1 = classic per-token stepping)
+    multi_step_decode: int = 1
 
 
 @dataclass(frozen=True)

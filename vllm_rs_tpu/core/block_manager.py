@@ -126,10 +126,10 @@ class BlockManager:
         needed = self.blocks_needed(seq.num_tokens) - len(seq.block_table)
         return needed <= 0 or self.num_available >= needed
 
-    def append_slot(self, seq: Sequence) -> bool:
-        """Ensure capacity for the KV slot written by the next decode step
-        (position num_tokens - 1)."""
-        needed = self.blocks_needed(seq.num_tokens) - len(seq.block_table)
+    def append_slot(self, seq: Sequence, n_steps: int = 1) -> bool:
+        """Ensure capacity for the KV slots written by the next n_steps
+        decode steps (positions num_tokens-1 .. num_tokens-2+n_steps)."""
+        needed = self.blocks_needed(seq.num_tokens + n_steps - 1) - len(seq.block_table)
         if needed <= 0:
             return True
         if not self._ensure_free(needed):

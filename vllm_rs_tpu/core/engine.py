@@ -172,18 +172,20 @@ class LLMEngine:
             batch = self.scheduler.schedule()
         if batch.is_empty:
             return 0
-        tokens = self.runner.run(batch)
+        if batch.kind == "decode" and batch.n_steps > 1:
+            tokens = self.runner.run_multi(batch, batch.n_steps)
+        else:
+            tokens = self.runner.run(batch)
         with self._lock:
             emitted = self.scheduler.postprocess(batch, tokens)
             self._deliver(emitted)
         return len(batch.seqs)
 
-    def _deliver(self, emitted: List[Sequence]) -> None:
-        for seq in emitted:
+    def _deliver(self, emitted) -> None:
+        for seq, tok in emitted:
             st = self.requests.get(seq.seq_id)
             if st is None:
                 continue
-            tok = seq.output_token_ids[-1]
             self.total_output_tokens += 1
             g = getattr(seq, "guidance", None)
             if g is not None:  # commit into the grammar (runner.rs:336-372)

@@ -306,6 +306,119 @@ class ModelRunner:
         host_tokens = np.asarray(tokens)
         return [int(host_tokens[i]) for i in range(len(batch.seqs))]
 
+    # ------------------------------------------------------------------
+    # multi-step decode: an on-device autoregressive loop
+    # ------------------------------------------------------------------
+
+    def _multi_step_impl(
+        self,
+        params,
+        kv,
+        start_tokens,  # [B] i32 (last sampled token per row)
+        start_pos,  # [B] i32 (position of that token)
+        block_tables,  # [B, MB] i32
+        valid,  # [B] bool (False for padded rows)
+        st: SamplingState,
+        key,
+        *,
+        n_steps: int,
+        needs_filters: bool,
+        needs_penalties: bool,
+    ):
+        """Run n_steps decode iterations without leaving the device.
+
+        The TPU-native replacement for per-step host round trips: where the
+        reference replays CUDA graphs once per token (graph.rs), this rolls
+        the whole forward+sample loop into one executable — token feedback,
+        positions, slot mapping, penalty history and the per-row PRNG all
+        advance in-graph. EOS/stop handling happens on the host afterwards
+        (tokens past a stop are discarded — bounded waste of ≤ n_steps).
+        """
+        B = start_tokens.shape[0]
+        bs = self.block_size
+        W = st.history.shape[1]
+
+        num_slots = self.num_slots
+
+        def body(i, carry):
+            kv, tok, pos, st_hist, st_outlen, out = carry
+            pos = pos + 1  # position of the token being generated
+            slot = (
+                jnp.take_along_axis(
+                    block_tables, (pos // bs)[:, None], axis=1
+                ).squeeze(1)
+                * bs
+                + pos % bs
+            )
+            # padded rows must not scatter into real blocks (single-step
+            # sets their slots to num_slots so mode="drop" discards them)
+            slot = jnp.where(valid, slot, num_slots)
+            meta = AttnMeta(
+                positions=pos[:, None],
+                slot_mapping=slot[:, None],
+                block_tables=block_tables,
+                context_lens=pos + 1,
+                last_token_idx=jnp.zeros((B,), jnp.int32),
+            )
+            kv, logits = self.model.step(params, tok[:, None], meta, kv)
+            st_i = st._replace(history=st_hist, out_len=st_outlen)
+            nxt = sample(
+                logits, st_i, key,
+                needs_filters=needs_filters, needs_penalties=needs_penalties,
+            )
+            if needs_penalties:  # rolling history window (last W outputs)
+                ptr = (st_outlen % W).astype(jnp.int32)
+                st_hist = st_hist.at[
+                    jnp.arange(B, dtype=jnp.int32), ptr
+                ].set(nxt)
+            out = out.at[:, i].set(nxt)
+            return (kv, nxt, pos, st_hist, st_outlen + 1, out)
+
+        out0 = jnp.zeros((B, n_steps), dtype=jnp.int32)
+        carry = (kv, start_tokens, start_pos, st.history, st.out_len, out0)
+        kv, _, _, _, _, out = jax.lax.fori_loop(0, n_steps, body, carry)
+        return kv, out
+
+    def run_multi(self, batch: ScheduledBatch, n_steps: int) -> np.ndarray:
+        """Decode n_steps tokens per sequence in one device program.
+        Returns [num_seqs, n_steps] sampled tokens."""
+        assert batch.kind == "decode"
+        seqs = batch.seqs
+        B = bucket_of(len(seqs), self.econfig.decode_buckets)
+        MB = self.max_blocks_per_seq
+        start_tokens = np.zeros((B,), dtype=np.int32)
+        start_pos = np.zeros((B,), dtype=np.int32)
+        block_tables = np.zeros((B, MB), dtype=np.int32)
+        for i, seq in enumerate(seqs):
+            start_tokens[i] = seq.last_token_id
+            start_pos[i] = seq.num_tokens - 2  # position of last token
+            block_tables[i, : len(seq.block_table)] = seq.block_table
+        st, needs_filters, needs_penalties, mask = self.prepare_sampling(seqs, B)
+        assert mask is None, "guided sequences use single-step decode"
+        if not hasattr(self, "_jit_multi"):
+            self._jit_multi = jax.jit(
+                self._multi_step_impl,
+                static_argnames=("n_steps", "needs_filters", "needs_penalties"),
+                donate_argnames=("kv",),
+            )
+        valid = np.zeros((B,), dtype=bool)
+        valid[: len(seqs)] = True
+        self.kv, out = self._jit_multi(
+            self.params,
+            self.kv,
+            jnp.asarray(start_tokens),
+            jnp.asarray(start_pos),
+            jnp.asarray(block_tables),
+            jnp.asarray(valid),
+            st,
+            self._base_key,
+            n_steps=n_steps,
+            needs_filters=needs_filters,
+            needs_penalties=needs_penalties,
+        )
+        self._step_counter += n_steps
+        return np.asarray(out)[: len(seqs)]
+
     def _slots_of_blocks(self, block_table: List[int]) -> np.ndarray:
         bs = self.block_size
         return (

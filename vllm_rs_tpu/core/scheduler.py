@@ -37,6 +37,9 @@ class ScheduledBatch:
     # prefill only: tokens processed this step per sequence (chunk lengths);
     # chunk start is seq.num_cached_tokens at schedule time
     chunk_sizes: List[int] = field(default_factory=list)
+    # decode only: tokens generated per sequence this step (multi-step
+    # on-device decode; 1 = classic single-step)
+    n_steps: int = 1
 
     @property
     def is_empty(self) -> bool:
@@ -152,19 +155,35 @@ class Scheduler:
             self.waiting.appendleft(seq)
         return batch
 
+    def _decode_steps(self) -> int:
+        """Tokens to generate per decode step (multi-step on-device decode).
+        Falls back to 1 when any running seq needs per-token host work
+        (guided decoding, stop strings) or is nearly done."""
+        k = self.config.multi_step_decode
+        if k <= 1:
+            return 1
+        for seq in self.running:
+            sp = seq.sampling_params
+            if seq.guidance is not None or sp.stop:
+                return 1
+            k = min(k, sp.max_tokens - len(seq.output_token_ids))
+            k = min(k, self.config.max_model_len - seq.num_tokens)
+        return max(k, 1)
+
     def _schedule_decode(self) -> ScheduledBatch:
         batch = ScheduledBatch(kind="decode")
         if not self.running:
             return batch
-        # ensure every running seq has a slot for this step; preempt youngest
-        # sequences (recompute) when the pool is exhausted
+        n_steps = self._decode_steps()
+        # ensure every running seq has slots for this step; preempt youngest
+        # sequences (swap or recompute) when the pool is exhausted
         survivors: List[Sequence] = []
         for seq in self.running:
             survivors.append(seq)
         i = 0
         while i < len(survivors):
             seq = survivors[i]
-            if self.bm.append_slot(seq):
+            if self.bm.append_slot(seq, n_steps):
                 i += 1
                 continue
             # out of blocks: preempt the youngest running sequence
@@ -175,6 +194,7 @@ class Scheduler:
                 break
         self.running = survivors
         batch.seqs = list(self.running)
+        batch.n_steps = n_steps
         return batch
 
     def _preempt(self, seq: Sequence) -> None:
@@ -218,10 +238,10 @@ class Scheduler:
 
     # -- postprocessing (reference scheduler.rs:500-629) ----------------------
 
-    def postprocess(self, batch: ScheduledBatch, token_ids: Seq[int]) -> List[Sequence]:
-        """Apply sampled tokens, detect finishes. Returns sequences that
-        produced a *new visible token* this step (for streaming)."""
-        emitted: List[Sequence] = []
+    def postprocess(self, batch: ScheduledBatch, token_ids) -> List[tuple]:
+        """Apply sampled tokens, detect finishes. Returns (seq, token) pairs
+        in generation order (multi-step decode emits several per seq)."""
+        emitted: List[tuple] = []
         if batch.kind == "prefill":
             for seq, chunk, tok in zip(batch.seqs, batch.chunk_sizes, token_ids):
                 seq.num_cached_tokens += chunk
@@ -235,14 +255,18 @@ class Scheduler:
                     self.running.append(seq)
                     seq.append_token(int(tok))
                     self._check_finish(seq)
-                    emitted.append(seq)
+                    emitted.append((seq, int(tok)))
                 else:
                     self.waiting.appendleft(seq)
         else:
-            for seq, tok in zip(batch.seqs, token_ids):
-                seq.append_token(int(tok))
-                self._check_finish(seq)
-                emitted.append(seq)
+            for si, seq in enumerate(batch.seqs):
+                toks = token_ids[si] if batch.n_steps > 1 else [token_ids[si]]
+                for t in toks:
+                    if seq.is_finished:
+                        break  # tokens past EOS/limit are discarded
+                    seq.append_token(int(t))
+                    self._check_finish(seq)
+                    emitted.append((seq, int(t)))
         self.running = [s for s in self.running if not s.is_finished]
         return emitted
 
