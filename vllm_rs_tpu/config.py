@@ -21,6 +21,31 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _hybrid_extra(cfg: dict, mt: str) -> tuple:
+    """Qwen3.5/Qwen3-Next hybrid GDN knobs → hashable extra tuple."""
+    if mt not in ("qwen3_next", "qwen3_5", "qwen3_5_moe") and not any(
+        k.startswith("linear_") for k in cfg
+    ):
+        return ()
+    extra = []
+    for k in (
+        "linear_num_key_heads", "linear_num_value_heads",
+        "linear_key_head_dim", "linear_value_head_dim",
+        "linear_conv_kernel_dim", "full_attention_interval",
+    ):
+        if cfg.get(k) is not None:
+            extra.append((k, int(cfg[k])))
+    lt = cfg.get("layer_types")
+    if isinstance(lt, list) and "linear_attention" in lt:
+        extra.append(
+            (
+                "layer_types_hybrid",
+                tuple("linear" if t == "linear_attention" else "full" for t in lt),
+            )
+        )
+    return tuple(extra)
+
+
 # ---------------------------------------------------------------------------
 # Model configuration (HF config.json superset; reference config.rs:219-282)
 # ---------------------------------------------------------------------------
@@ -201,6 +226,7 @@ class ModelConfig:
             eos_token_ids=tuple(eos),
             bos_token_id=cfg.get("bos_token_id", -1) if cfg.get("bos_token_id") is not None else -1,
             dtype=str(cfg.get("torch_dtype", "bfloat16")).replace("torch.", ""),
+            extra=_hybrid_extra(cfg, mt),
         )
 
     @staticmethod
@@ -230,6 +256,9 @@ class CacheConfig:
     kv_dtype: str = "bfloat16"
     # blocks held by the CPU swap pool (reference block_manager.rs:876-1001)
     num_swap_blocks: int = 0
+    # recurrent-state slots for hybrid GDN models (reference
+    # MAMBA_CACHE_FIXED_CAPACITY, core/runner.rs:131)
+    mamba_slots: int = 64
 
     @property
     def num_slots(self) -> int:

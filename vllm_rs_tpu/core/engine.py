@@ -78,9 +78,23 @@ class LLMEngine:
             econfig.cache.block_size,
             prefix_cache_enabled=econfig.scheduler.prefix_cache_enabled,
         )
+        # hybrid GDN models: recurrent-state slot allocator (reference
+        # MambaCache slots) + prefix cache off (cached prefixes would skip
+        # the recurrent-state updates) + no CPU swap (recurrent state is
+        # slot-resident, not block-resident)
+        self.is_hybrid = any(
+            t == "linear" for t in getattr(runner.model, "layer_types", ())
+        )
+        if self.is_hybrid:
+            self._mamba_free = list(range(econfig.cache.mamba_slots - 1, -1, -1))
+            self.block_manager.prefix_cache.enabled = False
         # CPU KV swap enabled via cache.num_swap_blocks (reference
         # block_manager.rs:876-1001 swap pool)
-        swap_backend = runner if econfig.cache.num_swap_blocks > 0 else None
+        swap_backend = (
+            runner
+            if econfig.cache.num_swap_blocks > 0 and not self.is_hybrid
+            else None
+        )
         self.scheduler = Scheduler(
             econfig.scheduler, self.block_manager, swap_backend=swap_backend
         )
@@ -121,6 +135,12 @@ class LLMEngine:
         seq = Sequence(token_ids, sp)
         if sp.constraint is not None:
             seq.guidance = self._make_guidance(sp.constraint)
+        if self.is_hybrid:
+            with self._lock:
+                if not self._mamba_free:
+                    raise RuntimeError("no free mamba slots (raise cache.mamba_slots)")
+                seq.mamba_slot = self._mamba_free.pop()
+            self.runner.reset_mamba_slot(seq.mamba_slot)
         detok = (
             IncrementalDetokenizer(self.tokenizer) if self.tokenizer is not None else None
         )
@@ -150,10 +170,18 @@ class LLMEngine:
             automaton, self._token_trie, self.econfig.model.eos_token_ids
         )
 
+    def _free_mamba(self, seq) -> None:
+        slot = getattr(seq, "mamba_slot", None)
+        if self.is_hybrid and slot is not None:
+            self._mamba_free.append(slot)
+            seq.mamba_slot = None
+
     def abort_request(self, seq_id: int) -> None:
         with self._lock:
             seq = self.scheduler.abort(seq_id)
             st = self.requests.get(seq_id)
+        if seq is not None:
+            self._free_mamba(seq)
         if seq is not None and st is not None:
             st.stream.put(
                 StreamItem(seq_id=seq_id, finished=True, finish_reason="abort")
@@ -205,6 +233,7 @@ class LLMEngine:
                         st.text = keep
             item = StreamItem(seq_id=seq.seq_id, token_id=tok, text=text)
             if seq.is_finished:
+                self._free_mamba(seq)
                 if st.detok is not None:
                     tail = st.detok.flush()
                     st.text += tail

@@ -175,8 +175,10 @@ class ModelRunner:
         positions = np.zeros((B, T), dtype=np.int32)
         slots = np.full((B, T), self.num_slots, dtype=np.int32)
         last_idx = np.zeros((B,), dtype=np.int32)
+        seq_slots = np.zeros((B,), dtype=np.int32)
         block_tables, context_lens = self._fill_common(B, seqs)
         for i, (seq, c) in enumerate(zip(seqs, chunks)):
+            seq_slots[i] = getattr(seq, "mamba_slot", 0) or 0
             start = seq.num_cached_tokens
             toks = seq.all_token_ids()[start : start + c]
             token_ids[i, :c] = toks
@@ -191,6 +193,7 @@ class ModelRunner:
             block_tables=jnp.asarray(block_tables),
             context_lens=jnp.asarray(context_lens),
             last_token_idx=jnp.asarray(last_idx),
+            seq_slots=jnp.asarray(seq_slots),
         )
         return jnp.asarray(token_ids), meta
 
@@ -201,6 +204,7 @@ class ModelRunner:
         positions = np.zeros((B, 1), dtype=np.int32)
         slots = np.full((B, 1), self.num_slots, dtype=np.int32)
         last_idx = np.zeros((B,), dtype=np.int32)
+        seq_slots = np.zeros((B,), dtype=np.int32)
         block_tables, context_lens = self._fill_common(B, seqs)
         for i, seq in enumerate(seqs):
             pos = seq.num_tokens - 1
@@ -208,12 +212,14 @@ class ModelRunner:
             positions[i, 0] = pos
             slots[i, 0] = self._slot_of(seq, pos)
             context_lens[i] = seq.num_tokens
+            seq_slots[i] = getattr(seq, "mamba_slot", 0) or 0
         meta = AttnMeta(
             positions=jnp.asarray(positions),
             slot_mapping=jnp.asarray(slots),
             block_tables=jnp.asarray(block_tables),
             context_lens=jnp.asarray(context_lens),
             last_token_idx=jnp.asarray(last_idx),
+            seq_slots=jnp.asarray(seq_slots),
         )
         return jnp.asarray(token_ids), meta
 
@@ -318,6 +324,7 @@ class ModelRunner:
         start_pos,  # [B] i32 (position of that token)
         block_tables,  # [B, MB] i32
         valid,  # [B] bool (False for padded rows)
+        seq_slots,  # [B] i32 mamba slots (hybrid models)
         st: SamplingState,
         key,
         *,
@@ -359,6 +366,7 @@ class ModelRunner:
                 block_tables=block_tables,
                 context_lens=pos + 1,
                 last_token_idx=jnp.zeros((B,), jnp.int32),
+                seq_slots=seq_slots,
             )
             kv, logits = self.model.step(params, tok[:, None], meta, kv)
             st_i = st._replace(history=st_hist, out_len=st_outlen)
@@ -389,10 +397,12 @@ class ModelRunner:
         start_tokens = np.zeros((B,), dtype=np.int32)
         start_pos = np.zeros((B,), dtype=np.int32)
         block_tables = np.zeros((B, MB), dtype=np.int32)
+        mslots = np.zeros((B,), dtype=np.int32)
         for i, seq in enumerate(seqs):
             start_tokens[i] = seq.last_token_id
             start_pos[i] = seq.num_tokens - 2  # position of last token
             block_tables[i, : len(seq.block_table)] = seq.block_table
+            mslots[i] = getattr(seq, "mamba_slot", 0) or 0
         st, needs_filters, needs_penalties, mask = self.prepare_sampling(seqs, B)
         assert mask is None, "guided sequences use single-step decode"
         if not hasattr(self, "_jit_multi"):
@@ -410,6 +420,7 @@ class ModelRunner:
             jnp.asarray(start_pos),
             jnp.asarray(block_tables),
             jnp.asarray(valid),
+            jnp.asarray(mslots),
             st,
             self._base_key,
             n_steps=n_steps,
@@ -418,6 +429,16 @@ class ModelRunner:
         )
         self._step_counter += n_steps
         return np.asarray(out)[: len(seqs)]
+
+    def reset_mamba_slot(self, slot: int) -> None:
+        """Zero a reused mamba slot's recurrent + conv state."""
+        if not isinstance(self.kv, dict):
+            return
+        kv = dict(self.kv)
+        for k in ("conv", "rec"):
+            if k in kv:
+                kv[k] = kv[k].at[:, slot].set(0)
+        self.kv = kv
 
     def _slots_of_blocks(self, block_table: List[int]) -> np.ndarray:
         bs = self.block_size

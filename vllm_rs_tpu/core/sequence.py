@@ -59,6 +59,8 @@ class Sequence:
         self.guidance = None
         # block count at swap-out time (CPU swap, scheduler.rs:830-1006)
         self.swapped_num_blocks = 0
+        # recurrent-state slot for hybrid GDN models (MambaCache slot id)
+        self.mamba_slot = None
         # paged-KV block table (logical block ids into the device pool)
         self.block_table: List[int] = []
         # tokens whose KV already exists in the cache (prefix hits + chunks)

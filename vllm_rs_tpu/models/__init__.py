@@ -30,6 +30,9 @@ for _mt in ("llama", "mistral", "yi", "stablelm", "qwen2", "qwen3", "gemma", "ge
     register(_mt, "vllm_rs_tpu.models.llama:CausalLM")
 for _mt in ("qwen2_moe", "qwen3_moe", "mixtral", "glm4_moe", "minimax"):
     register(_mt, "vllm_rs_tpu.models.qwen3_moe:MoECausalLM")
+# hybrid GDN family (qwen3_5.rs / deltanet.rs)
+for _mt in ("qwen3_next", "qwen3_5"):
+    register(_mt, "vllm_rs_tpu.models.qwen3_next:Qwen3NextForCausalLM")
 # MLA family (deepseek3.rs / glm4_moe_lite.rs)
 for _mt in ("deepseek_v2", "deepseek_v3", "glm4_moe_lite", "kimi_k2"):
     register(_mt, "vllm_rs_tpu.models.deepseek3:DeepseekV3")

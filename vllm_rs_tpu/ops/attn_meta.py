@@ -33,3 +33,5 @@ class AttnMeta(NamedTuple):
     context_lens: jax.Array
     # index of the last real query token per row (for logit gather), [B] int32
     last_token_idx: jax.Array
+    # mamba-slot id per row (hybrid GDN models; 0 otherwise), [B] int32
+    seq_slots: jax.Array = None
