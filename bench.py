@@ -113,8 +113,9 @@ def main():
         decode_time = t_end - t_first if t_first else t_end - t0
         return n_out, decode_time, (t_first - t0 if t_first else 0.0)
 
-    # warmup (compilation of prefill + decode buckets)
-    run_once(8)
+    # warmup (compilation of prefill + decode buckets incl. the full
+    # multi-step program: 33 = 1 + 32 so the k=32 executable compiles here)
+    run_once(33)
     n_out, decode_time, ttft = run_once(args.decode_tokens)
     decode_tps = (n_out - 1) / decode_time if decode_time > 0 else 0.0
 

@@ -1,0 +1,73 @@
+"""PD disaggregation: remote prefill + local decode == local-only."""
+
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from vllm_rs_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SamplingParams,
+    SchedulerConfig,
+)
+from vllm_rs_tpu.core.engine import LLMEngine
+from vllm_rs_tpu.core.runner import ModelRunner
+from vllm_rs_tpu.models.llama import CausalLM
+from vllm_rs_tpu.transfer import PdClient, PdServer
+
+
+def _engine():
+    cfg = ModelConfig(
+        model_type="llama",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=128,
+        eos_token_ids=(0,),
+    )
+    ec = EngineConfig(
+        model=cfg,
+        cache=CacheConfig(block_size=4, num_blocks=64),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4, chunk_size=32, max_model_len=64, prefill_buckets=(8, 32)
+        ),
+        prefill_buckets=(8, 32),
+        decode_buckets=(4,),
+    )
+    m = CausalLM(cfg, block_size=4)
+    params = m.init_params(jax.random.PRNGKey(0))  # same weights both sides
+    return LLMEngine(ec, ModelRunner(m, params, ec))
+
+
+class TestPdRoundTrip:
+    def test_remote_prefill_matches_local(self):
+        server_engine = _engine()
+        client_engine = _engine()
+        server = PdServer(server_engine, port=0)
+        server.start()
+        try:
+            client = PdClient(client_engine, ("127.0.0.1", server.port), min_prompt_len=4)
+            prompt = list(range(2, 20))
+            sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+            assert client.should_offload(prompt)
+            sid = client.prefill_remote(prompt, sp)
+            # decode locally to completion
+            while not client_engine.requests[sid].seq.is_finished:
+                client_engine.step()
+            remote = client_engine.requests[sid].seq.output_token_ids
+
+            local = _engine().generate([prompt], sp)[0].output_token_ids
+            assert remote == local, (remote, local)
+        finally:
+            server.stop()
+
+    def test_short_prompts_stay_local(self):
+        client = PdClient(None, ("127.0.0.1", 1), min_prompt_len=128)
+        assert not client.should_offload(list(range(100)))
+        assert client.should_offload(list(range(128)))

@@ -168,7 +168,10 @@ class Scheduler:
                 return 1
             k = min(k, sp.max_tokens - len(seq.output_token_ids))
             k = min(k, self.config.max_model_len - seq.num_tokens)
-        return max(k, 1)
+        if k <= 1:
+            return 1
+        # round down to a power of two so each n_steps value compiles once
+        return 1 << (max(k, 1).bit_length() - 1)
 
     def _schedule_decode(self) -> ScheduledBatch:
         batch = ScheduledBatch(kind="decode")

@@ -1,0 +1,281 @@
+"""Prefill/decode (PD) disaggregation.
+
+Counterpart of the reference's src/transfer/ (SURVEY.md §2.2/§3.5): a
+*client* engine offloads long prompts to a *server* engine, which prefills
+them, samples the first token, and ships the prompt's KV back; the client
+installs the KV into its own paged pool and decodes from token 2 onward —
+a long prefill never stalls the client's decode batches.
+
+TPU-native transport: there is no CUDA-IPC analogue across hosts, so KV
+moves host-staged — the runner's block gather (the same path as CPU swap,
+ops on [L, 2, n_slots, Hk*D]) → raw bytes over TCP → scatter into the
+client's blocks. Framing is a 4-byte length + JSON header + raw tensor
+bytes (the reference uses length-prefixed bincode, transfer/comm.rs).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import socket
+import struct
+import threading
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# framing
+# ---------------------------------------------------------------------------
+
+
+def _send_msg(sock: socket.socket, header: dict, payload: bytes = b"") -> None:
+    h = json.dumps(header).encode()
+    sock.sendall(struct.pack("<II", len(h), len(payload)) + h + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_msg(sock: socket.socket) -> Tuple[dict, bytes]:
+    hlen, plen = struct.unpack("<II", _recv_exact(sock, 8))
+    header = json.loads(_recv_exact(sock, hlen))
+    payload = _recv_exact(sock, plen) if plen else b""
+    return header, payload
+
+
+def _pack_kv(host_kv) -> Tuple[dict, bytes]:
+    """Host KV pytree (numpy leaves) → (spec, concatenated bytes)."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(host_kv)
+    spec = {
+        "shapes": [list(x.shape) for x in leaves],
+        "dtypes": [str(x.dtype) for x in leaves],
+        "n_leaves": len(leaves),
+    }
+    payload = b"".join(np.ascontiguousarray(x).tobytes() for x in leaves)
+    return spec, payload
+
+
+def _unpack_kv(spec: dict, payload: bytes):
+    leaves = []
+    off = 0
+    for shape, dt in zip(spec["shapes"], spec["dtypes"]):
+        dt = np.dtype(dt) if dt != "bfloat16" else np.dtype(np.uint16)
+        n = int(np.prod(shape)) * dt.itemsize
+        arr = np.frombuffer(payload[off : off + n], dtype=dt).reshape(shape)
+        off += n
+        leaves.append(arr)
+    return leaves
+
+
+def _kv_to_wire(host_kv):
+    """bfloat16 numpy arrays are not serializable via np.dtype — reinterpret
+    as uint16 on the wire and restore via jnp view on install."""
+    import jax.numpy as jnp
+
+    def conv(x):
+        x = np.asarray(x)
+        if x.dtype == jnp.bfloat16:
+            return x.view(np.uint16), "bfloat16"
+        return x, str(x.dtype)
+
+    import jax
+
+    leaves, _ = jax.tree_util.tree_flatten(host_kv)
+    out, dts = [], []
+    for x in leaves:
+        c, d = conv(x)
+        out.append(c)
+        dts.append(d)
+    spec = {"shapes": [list(x.shape) for x in out], "dtypes": dts}
+    payload = b"".join(np.ascontiguousarray(x).tobytes() for x in out)
+    return spec, payload
+
+
+def _kv_from_wire(spec, payload):
+    import jax.numpy as jnp
+
+    leaves = []
+    off = 0
+    for shape, dt in zip(spec["shapes"], spec["dtypes"]):
+        wire_dt = np.dtype(np.uint16) if dt == "bfloat16" else np.dtype(dt)
+        n = int(np.prod(shape)) * wire_dt.itemsize
+        arr = np.frombuffer(payload[off : off + n], dtype=wire_dt).reshape(shape)
+        off += n
+        if dt == "bfloat16":
+            arr = jnp.asarray(arr).view(jnp.bfloat16)
+        leaves.append(arr)
+    return leaves
+
+
+# ---------------------------------------------------------------------------
+# server
+# ---------------------------------------------------------------------------
+
+
+class PdServer:
+    """Prefill server: accepts prompts, returns (first_token, KV bytes).
+
+    Mirrors the reference PD server flow (scheduler.rs:500-563 postprocess →
+    try_send_kvcache): prefill through the normal engine with max_tokens=1,
+    then gather the sequence's blocks host-side and stream them back.
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(8)
+        self.port = self._srv.getsockname()[1]
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> None:
+        self._running = True
+        # handlers drive engine.step() themselves (serialized): the KV must
+        # be gathered while the sequence still owns its blocks, which a
+        # concurrent background loop could race
+        self._step_lock = threading.Lock()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        self._srv.close()
+
+    def _serve(self) -> None:
+        while self._running:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._handle, args=(conn,), daemon=True
+            ).start()
+
+    def _handle(self, conn: socket.socket) -> None:
+        try:
+            while True:
+                header, _ = _recv_msg(conn)
+                if header.get("type") != "prefill":
+                    _send_msg(conn, {"type": "error", "message": "bad request"})
+                    continue
+                self._prefill_and_reply(conn, header)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            conn.close()
+
+    def _prefill_and_reply(self, conn, header) -> None:
+        from vllm_rs_tpu.config import SamplingParams
+
+        token_ids: List[int] = header["token_ids"]
+        sp = SamplingParams.from_dict(header.get("sampling", {}))
+        # max_tokens=2 keeps the sequence RUNNING (blocks owned) after the
+        # first token, so the KV gather sees a live block table
+        sp.max_tokens = 2
+        sp.ignore_eos = True
+        with self._step_lock:
+            seq_id = self.engine.add_request(token_ids, sp)
+            seq = self.engine.requests[seq_id].seq
+            while not seq.output_token_ids:
+                self.engine.step()
+            first_token = seq.output_token_ids[0]
+            host_kv = self.engine.runner.swap_out(list(seq.block_table))
+            self.engine.abort_request(seq_id)
+        spec, payload = _kv_to_wire(host_kv)
+        _send_msg(
+            conn,
+            {"type": "prefill_done", "first_token": first_token, "kv": spec},
+            payload,
+        )
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+
+class PdClient:
+    """Client-side offload: send a prompt, install the returned KV.
+
+    The reference offloads prompts ≥ 128 tokens unless a prefix-cache hit
+    leaves < 1024 new tokens (scheduler.rs:52-54); the same thresholds apply
+    here via `min_prompt_len`.
+    """
+
+    def __init__(self, engine, addr: Tuple[str, int], min_prompt_len: int = 128):
+        self.engine = engine
+        self.addr = addr
+        self.min_prompt_len = min_prompt_len
+        self._sock: Optional[socket.socket] = None
+        self._lock = threading.Lock()
+
+    def _connect(self) -> socket.socket:
+        if self._sock is None:
+            self._sock = socket.create_connection(self.addr, timeout=300)
+        return self._sock
+
+    def should_offload(self, token_ids: List[int]) -> bool:
+        return len(token_ids) >= self.min_prompt_len
+
+    def prefill_remote(self, token_ids: List[int], sampling_params) -> int:
+        """Round-trip one prompt through the prefill server; returns the
+        client-side seq_id of a sequence admitted directly into decode."""
+        from vllm_rs_tpu.core.sequence import Sequence, SequenceStatus
+
+        with self._lock:
+            sock = self._connect()
+            _send_msg(
+                sock,
+                {
+                    "type": "prefill",
+                    "token_ids": list(token_ids),
+                    "sampling": {"temperature": 0.0},
+                },
+            )
+            header, payload = _recv_msg(sock)
+        assert header["type"] == "prefill_done", header
+        leaves = _kv_from_wire(header["kv"], payload)
+        import jax
+
+        treedef = jax.tree_util.tree_structure(self.engine.runner.kv)
+        host_kv = jax.tree_util.tree_unflatten(treedef, leaves)
+
+        engine = self.engine
+        seq = Sequence(list(token_ids), sampling_params)
+        with engine._lock:
+            if not engine.block_manager.allocate_prompt(seq):
+                raise RuntimeError("client KV pool exhausted for PD install")
+            engine.runner.swap_in(host_kv, seq.block_table)
+            seq.num_cached_tokens = len(token_ids)
+            seq.status = SequenceStatus.RUNNING
+            seq.append_token(int(header["first_token"]))
+            from vllm_rs_tpu.core.engine import _RequestState
+            from vllm_rs_tpu.utils.detok import IncrementalDetokenizer
+
+            detok = (
+                IncrementalDetokenizer(engine.tokenizer)
+                if engine.tokenizer is not None
+                else None
+            )
+            st = _RequestState(seq, detok)
+            engine.requests[seq.seq_id] = st
+            engine.scheduler.running.append(seq)
+            engine.total_prompt_tokens += len(token_ids)
+            engine._deliver([(seq, seq.output_token_ids[-1])])
+        return seq.seq_id
