@@ -116,6 +116,7 @@ class LLMEngine:
         self,
         prompt: Union[str, List[int]],
         sampling_params: Optional[SamplingParams] = None,
+        images: Optional[list] = None,
     ) -> int:
         sp = sampling_params or SamplingParams()
         if isinstance(prompt, str):
@@ -132,7 +133,12 @@ class LLMEngine:
             raise ValueError(f"prompt ({len(token_ids)} tokens) >= max_model_len {max_len}")
         # clamp max_tokens to the KV budget (engine.rs:505-685)
         sp.max_tokens = max(1, min(sp.max_tokens, max_len - len(token_ids)))
-        seq = Sequence(token_ids, sp)
+        image_seed = None
+        if images:
+            image_seed = images[0].seed
+        seq = Sequence(token_ids, sp, image_seed=image_seed)
+        if images:
+            self._attach_images(seq, images, token_ids)
         if sp.constraint is not None:
             seq.guidance = self._make_guidance(sp.constraint)
         if self.is_hybrid:
@@ -149,6 +155,25 @@ class LLMEngine:
             self.scheduler.add(seq)
             self.total_prompt_tokens += len(token_ids)
         return seq.seq_id
+
+    def _attach_images(self, seq, images, token_ids) -> None:
+        """Encode images through the vision tower and bind their embeddings
+        to the prompt's image-placeholder positions (engine admission path,
+        reference build_messages_and_images → ImageData)."""
+        model = self.runner.model
+        assert hasattr(model, "encode_image"), "model has no vision tower"
+        img_tok = model.image_token_id
+        positions = [i for i, t in enumerate(token_ids) if t == img_tok]
+        expected = sum(img.num_tokens for img in images)
+        if len(positions) != expected:
+            raise ValueError(
+                f"prompt has {len(positions)} image tokens, images need {expected}"
+            )
+        embeds = [self.runner.model.encode_image(self.runner.params, im) for im in images]
+        import numpy as np  # noqa: F811
+
+        seq.mm_embeds = np.concatenate(embeds, axis=0)
+        seq.mm_positions = positions
 
     def _make_guidance(self, constraint):
         """Build a GuidanceState (reference build_llg_factory + per-seq

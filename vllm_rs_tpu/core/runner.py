@@ -187,6 +187,7 @@ class ModelRunner:
                 slots[i, j] = self._slot_of(seq, start + j)
             context_lens[i] = start + c
             last_idx[i] = c - 1
+        mm_embeds, mm_targets = self._prepare_mm(B, T, seqs, chunks)
         meta = AttnMeta(
             positions=jnp.asarray(positions),
             slot_mapping=jnp.asarray(slots),
@@ -194,8 +195,38 @@ class ModelRunner:
             context_lens=jnp.asarray(context_lens),
             last_token_idx=jnp.asarray(last_idx),
             seq_slots=jnp.asarray(seq_slots),
+            mm_embeds=mm_embeds,
+            mm_targets=mm_targets,
         )
         return jnp.asarray(token_ids), meta
+
+    _MM_BUCKETS = (64, 256, 1024, 4096)
+
+    def _prepare_mm(self, B, T, seqs, chunks):
+        """Vision-embedding splice arrays for this prefill step (reference
+        compute_image_slice, core/runner.rs:845-866): rows of each seq's
+        mm_embeds whose prompt positions fall inside this chunk."""
+        if not any(getattr(s, "mm_embeds", None) is not None for s in seqs):
+            return None, None
+        embeds = []
+        targets = []
+        D = self.econfig.model.hidden_size
+        for i, (seq, c) in enumerate(zip(seqs, chunks)):
+            if getattr(seq, "mm_embeds", None) is None:
+                continue
+            start = seq.num_cached_tokens
+            for j, pos in enumerate(seq.mm_positions):
+                if start <= pos < start + c:
+                    embeds.append(seq.mm_embeds[j])
+                    targets.append(i * T + (pos - start))
+        if not embeds:
+            return None, None
+        K = bucket_of(len(embeds), self._MM_BUCKETS)
+        emb = np.zeros((K, D), dtype=np.float32)
+        tgt = np.full((K,), B * T, dtype=np.int32)  # pad → dropped
+        emb[: len(embeds)] = np.stack(embeds)
+        tgt[: len(targets)] = targets
+        return jnp.asarray(emb), jnp.asarray(tgt)
 
     def prepare_decode(self, batch: ScheduledBatch):
         seqs = batch.seqs

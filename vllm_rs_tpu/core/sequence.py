@@ -61,6 +61,9 @@ class Sequence:
         self.swapped_num_blocks = 0
         # recurrent-state slot for hybrid GDN models (MambaCache slot id)
         self.mamba_slot = None
+        # multimodal: vision embeddings [K, D] + their prompt positions
+        self.mm_embeds = None
+        self.mm_positions: List[int] = []
         # paged-KV block table (logical block ids into the device pool)
         self.block_table: List[int] = []
         # tokens whose KV already exists in the cache (prefix hits + chunks)

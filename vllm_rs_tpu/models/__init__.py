@@ -30,6 +30,9 @@ for _mt in ("llama", "mistral", "yi", "stablelm", "qwen2", "qwen3", "gemma", "ge
     register(_mt, "vllm_rs_tpu.models.llama:CausalLM")
 for _mt in ("qwen2_moe", "qwen3_moe", "mixtral", "glm4_moe", "minimax"):
     register(_mt, "vllm_rs_tpu.models.qwen3_moe:MoECausalLM")
+# vision-language family (qwen3_vl/, mistral3_vl/)
+for _mt in ("qwen2_vl", "qwen2_5_vl", "qwen3_vl", "mistral3", "ministral3"):
+    register(_mt, "vllm_rs_tpu.models.qwen_vl:QwenVLForCausalLM")
 # hybrid GDN family (qwen3_5.rs / deltanet.rs)
 for _mt in ("qwen3_next", "qwen3_5"):
     register(_mt, "vllm_rs_tpu.models.qwen3_next:Qwen3NextForCausalLM")

@@ -185,6 +185,13 @@ class CausalLM:
         h = params["embed"][token_ids].astype(jnp.bfloat16)
         if cfg.embed_scale != 1.0:
             h = h * jnp.asarray(cfg.embed_scale, dtype=h.dtype)
+        if meta.mm_embeds is not None:  # VL: splice vision embeddings in
+            B, T, D = h.shape
+            flat = h.reshape(B * T, D)
+            flat = flat.at[meta.mm_targets].set(
+                meta.mm_embeds.astype(flat.dtype), mode="drop"
+            )
+            h = flat.reshape(B, T, D)
 
         def layer_fn(h, xs):
             lp, kv_l = xs

@@ -1,0 +1,49 @@
+"""Vision-language models (Qwen2/2.5/3-VL style).
+
+Counterpart of the reference's qwen3_vl/ + mistral3_vl/ (SURVEY.md §2.3):
+a VisionTower encodes images at request admission; during prefill the
+vision embeddings are spliced over the prompt's image-placeholder tokens
+(the splice itself lives in the base CausalLM.forward so any family can be
+multimodal). Deepstack feature injection and mrope positions are follow-up
+refinements — positions currently use the standard 1D rope.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_rs_tpu.config import ModelConfig
+from vllm_rs_tpu.models.llama import CausalLM
+from vllm_rs_tpu.models.vision import VisionTower
+
+
+class QwenVLForCausalLM(CausalLM):
+    """Dense text trunk + ViT vision tower."""
+
+    def __init__(self, config: ModelConfig, **kw):
+        super().__init__(config, **kw)
+        self.image_token_id = int(config.extra_get("image_token_id", 151655))
+        vc = {
+            "patch_size": int(config.extra_get("vision_patch_size", 14)),
+            "width": int(config.extra_get("vision_width", 128)),
+            "layers": int(config.extra_get("vision_layers", 2)),
+            "heads": int(config.extra_get("vision_heads", 4)),
+            "out_hidden": config.hidden_size,
+            "spatial_merge": int(config.extra_get("vision_spatial_merge", 2)),
+        }
+        self.vision = VisionTower(**vc)
+
+    def init_params(self, key, quant=None, quant_group: int = 128, dtype=jnp.bfloat16):
+        k1, k2 = jax.random.split(key)
+        params = super().init_params(k1, quant=quant, quant_group=quant_group, dtype=dtype)
+        params["vision"] = self.vision.init_params(k2, dtype=dtype)
+        return params
+
+    def encode_image(self, params: dict, image) -> np.ndarray:
+        """ImageData → [num_tokens, hidden] embeddings (one jit per grid)."""
+        out = jax.jit(self.vision.forward, static_argnames=("grid",))(
+            params["vision"], jnp.asarray(image.patches), grid=image.grid
+        )
+        return np.asarray(out, dtype=np.float32)

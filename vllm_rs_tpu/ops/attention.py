@@ -115,6 +115,8 @@ def paged_attention(
     if backend == "auto":
         platform = jax.default_backend()
         backend = "pallas" if platform == "tpu" else "reference"
+    if backend == "pallas" and q.shape[-1] % 128 != 0:
+        backend = "reference"  # decode kernel wants lane-aligned head_dim
     if backend == "pallas" and not is_quantized_kv(kv_l):
         from vllm_rs_tpu.ops.pallas.paged_attention import paged_attention_pallas
 

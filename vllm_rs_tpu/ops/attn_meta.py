@@ -35,3 +35,7 @@ class AttnMeta(NamedTuple):
     last_token_idx: jax.Array
     # mamba-slot id per row (hybrid GDN models; 0 otherwise), [B] int32
     seq_slots: jax.Array = None
+    # multimodal injection (VL prefill): vision embeddings [K, D] and their
+    # flat targets into the [B*T] hidden rows (pad = B*T, dropped)
+    mm_embeds: jax.Array = None
+    mm_targets: jax.Array = None
