@@ -231,9 +231,7 @@ def paged_attention_pallas(
     sliding_window: int = 0,
 ) -> jax.Array:
     """Backend entry: decode (T == 1) uses the flash-decoding kernel;
-    prefill currently falls back to the gather-based reference (a chunked
-    prefill kernel lands separately — prefill is compute-bound, not
-    HBM-latency-bound, so the fallback costs far less there)."""
+    prefill (T > 1) the chunked flash-prefill kernel over paged KV."""
     if q.shape[1] == 1:
         return paged_attention_decode_pallas(
             q,
@@ -245,9 +243,9 @@ def paged_attention_pallas(
             logit_softcap=logit_softcap,
             sliding_window=sliding_window,
         )
-    from vllm_rs_tpu.ops.attention import paged_attention_reference
+    from vllm_rs_tpu.ops.pallas.prefill_attention import paged_prefill_pallas
 
-    return paged_attention_reference(
+    return paged_prefill_pallas(
         q,
         k_cache,
         v_cache,
