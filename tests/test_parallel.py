@@ -48,3 +48,57 @@ def test_tp_quantized(tiny_engine_config):
     mesh = make_mesh(tp_size=2)
     toks = _generate(ecfg, params, mesh=mesh)
     assert len(toks) == 6
+
+
+def test_tp_moe_matches_single_device():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    from tests.test_moe import _moe_engine  # tiny MoE engine builder
+    from vllm_rs_tpu.models.qwen3_moe import MoECausalLM
+    from vllm_rs_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+
+    model_cfg = ModelConfig(
+        model_type="qwen3_moe", hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=256, qk_norm=True, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, eos_token_ids=(0,),
+    )
+    ecfg = EngineConfig(
+        model=model_cfg,
+        cache=CacheConfig(block_size=4, num_blocks=64),
+        scheduler=SchedulerConfig(max_num_seqs=4, chunk_size=32, max_model_len=128,
+                                  prefill_buckets=(8, 32)),
+        prefill_buckets=(8, 32), decode_buckets=(4,),
+    )
+    model = MoECausalLM(model_cfg, block_size=4)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    prompts = [[5, 6, 7, 8, 9]]
+
+    def gen(mesh, p):
+        runner = ModelRunner(MoECausalLM(model_cfg, block_size=4), p, ecfg, mesh=mesh)
+        return LLMEngine(ecfg, runner).generate(prompts, sp)[0].output_token_ids
+
+    single = gen(None, params)
+    mesh = make_mesh(tp_size=2)
+    sharded = gen(mesh, shard_params(params, mesh))
+    assert single == sharded
+
+
+def test_tp_mla_matches_single_device():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    from tests.test_mla import _mla_engine
+    from vllm_rs_tpu.models.deepseek3 import DeepseekV3
+
+    base = _mla_engine()
+    ecfg = base.econfig
+    model = DeepseekV3(ecfg.model, block_size=4)
+    params = base.runner.params
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    prompts = [[5, 6, 7]]
+    single = base.generate(prompts, sp)[0].output_token_ids
+    mesh = make_mesh(tp_size=2)
+    runner = ModelRunner(model, shard_params(params, mesh), ecfg, mesh=mesh)
+    sharded = LLMEngine(ecfg, runner).generate(prompts, sp)[0].output_token_ids
+    assert single == sharded

@@ -33,7 +33,23 @@ _PLANS = {
     "up": _COL,
     "o": _ROW,
     "down": _ROW,
+    # MoE shared expert (qwen3_moe.rs loaders shard the same TP dim)
+    "shared_gate_proj": _COL,
+    "shared_up_proj": _COL,
+    "shared_down_proj": _ROW,
+    # MLA projections: q (direct or LoRA-B) col-parallel, absorbed factors
+    # sharded on the head axis (kv_b head shards, mla_attention.rs)
+    "q_b": _COL,
+    "in_qkvz": _COL,  # GDN fused projection
+    "out": _ROW,  # GDN output projection
 }
+# stacked expert weights [L, E, K, N]: experts replicated, K/N TP-sharded
+_EXPERT_COL = P(None, None, None, "model")
+_EXPERT_ROW = P(None, None, "model", None)
+_MOE_PLANS = {"w_gate": _EXPERT_COL, "w_up": _EXPERT_COL, "w_down": _EXPERT_ROW}
+# MLA absorbed factors [L, H, dn, R] / [L, H, R, dv]: shard heads
+_HEAD_SHARD = P(None, "model", None, None)
+_MLA_PLANS = {"w_uk": _HEAD_SHARD, "w_uv": _HEAD_SHARD}
 
 
 def _leaf_name(path) -> str:
@@ -53,9 +69,16 @@ def _field_name(path) -> str:
 
 def param_spec(path, leaf) -> P:
     name = _leaf_name(path)
+    if name in _MOE_PLANS and leaf.ndim == 4:
+        return _MOE_PLANS[name]
+    if name in _MOE_PLANS and leaf.ndim == 3:  # unstacked [E, K, N]
+        s = _MOE_PLANS[name]
+        return P(s[1], s[2], s[3])
+    if name in _MLA_PLANS and leaf.ndim == 4:
+        return _MLA_PLANS[name]
     plan = _PLANS.get(name)
     if plan is None:
-        return P()  # replicated: norms, embed, lm_head, inv_freq
+        return P()  # replicated: norms, embed, lm_head, inv_freq, router
     wspec, bspec = plan
     field = _field_name(path)
     # NamedTuple fields: Linear(w, b) / QuantizedTensor(qweight, scales, zeros)
@@ -87,9 +110,19 @@ def kv_spec(num_kv_heads: int, mesh: Mesh) -> P:
 
 
 def shard_kv_cache(kv, mesh: Mesh, num_kv_heads: int):
-    """Shard the cache; the int8 (data, scales) pair shards both leaves on
-    the kv-head axis (scales' last dim IS the head axis)."""
-    spec = kv_spec(num_kv_heads, mesh)
-    return jax.tree_util.tree_map(
-        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, spec)), kv
-    )
+    """Shard the cache on the kv-head axis where the layout has one.
+
+    - GQA [L, 2, S, Hk*D] (and int8 scales [L, 2, S, Hk]): shard dim 3.
+    - MLA latent [L, S, R+P]: replicated — the compressed latent is shared
+      across heads (heads shard in w_uk/w_uv instead).
+    - hybrid GDN conv/rec state: replicated (per-slot recurrent state).
+    """
+    head_spec = kv_spec(num_kv_heads, mesh)
+
+    def place(leaf):
+        # the GQA pool signature is [L, 2, S, *]; anything else replicates
+        is_gqa = leaf.ndim == 4 and leaf.shape[1] == 2
+        spec = head_spec if is_gqa else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, kv)
