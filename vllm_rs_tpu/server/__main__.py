@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--tp-size", type=int, default=1)
     ap.add_argument("--dp-size", type=int, default=1)
     ap.add_argument("--chunk-size", type=int, default=2048)
+    ap.add_argument("--mcp-config", default=None,
+                    help="JSON config of MCP servers to expose as tools")
     ap.add_argument("--log-level", default="INFO")
     args = ap.parse_args()
 
@@ -60,9 +62,15 @@ def main() -> None:
         tpl = ChatTemplate.from_tokenizer_config(
             tc_path, engine.econfig.model.model_type
         )
+    mcp = None
+    if args.mcp_config:
+        from vllm_rs_tpu.mcp import McpManager
+
+        mcp = McpManager.from_config_file(args.mcp_config)
     name = args.served_model_name or os.path.basename(os.path.normpath(args.model))
     run_server(
-        engine, host=args.host, port=args.port, model_name=name, chat_template=tpl
+        engine, host=args.host, port=args.port, model_name=name,
+        chat_template=tpl, mcp=mcp,
     )
 
 

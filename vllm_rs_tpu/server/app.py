@@ -29,6 +29,7 @@ class ServerState:
         chat_template: Optional[ChatTemplate] = None,
         tool_config: Optional[ToolConfig] = None,
         default_max_tokens: int = 1024,
+        mcp=None,
     ):
         self.engine = engine
         self.model_name = model_name
@@ -36,6 +37,8 @@ class ServerState:
         self.chat_template = chat_template or ChatTemplate(model_type=mt)
         self.tool_config = tool_config or ToolConfig.for_model_type(mt)
         self.default_max_tokens = default_max_tokens
+        # MCP manager (reference server/mod.rs:1016-1127 MCP tool execution)
+        self.mcp = mcp
         self.created = int(time.time())
 
     def tokenize(self, text: str):
@@ -75,10 +78,13 @@ def run_server(
     port: int = 8000,
     model_name: str = "model",
     chat_template: Optional[ChatTemplate] = None,
+    mcp=None,
 ) -> None:
     """Start the engine loop and serve until interrupted."""
     engine.start_loop()
-    state = ServerState(engine, model_name=model_name, chat_template=chat_template)
+    state = ServerState(
+        engine, model_name=model_name, chat_template=chat_template, mcp=mcp
+    )
     app = build_app(state)
     logger.info("serving %s on %s:%d", model_name, host, port)
     try:

@@ -43,6 +43,50 @@ async def _next_item(queue):
     return await loop.run_in_executor(None, queue.get)
 
 
+def _merged_tools(st, body: Dict[str, Any]):
+    """Request tools + cached MCP tools (server/mod.rs:1016-1127)."""
+    tools = list(body.get("tools") or [])
+    if st.mcp is not None:
+        tools += st.mcp.list_tools()
+    return tools or None
+
+
+async def _run_mcp_round(st, body, parser) -> bool:
+    """Execute MCP tool calls and append tool-result messages to the body.
+    Returns True when a follow-up generation round is needed."""
+    if st.mcp is None or not parser.tool_calls:
+        return False
+    import json as _json
+
+    executed = False
+    msgs = list(body.get("messages", []))
+    tc_msgs = []
+    for tc in parser.tool_calls:
+        if not st.mcp.has_tool(tc.name):
+            continue
+        loop = asyncio.get_running_loop()
+        try:
+            args = _json.loads(tc.arguments or "{}")
+        except _json.JSONDecodeError:
+            args = {}
+        result = await loop.run_in_executor(None, lambda: st.mcp.call(tc.name, args))
+        tc_msgs.append(
+            {
+                "role": "assistant",
+                "content": "",
+                "tool_calls": [
+                    {"id": tc.id, "type": "function",
+                     "function": {"name": tc.name, "arguments": tc.arguments}}
+                ],
+            }
+        )
+        tc_msgs.append({"role": "tool", "tool_call_id": tc.id, "content": result})
+        executed = True
+    if executed:
+        body["messages"] = msgs + tc_msgs
+    return executed
+
+
 def _render_prompt(st, body: Dict[str, Any]) -> str:
     messages = body.get("messages", [])
     norm = []
@@ -58,7 +102,7 @@ def _render_prompt(st, body: Dict[str, Any]) -> str:
     return st.chat_template.render(
         norm,
         add_generation_prompt=True,
-        tools=body.get("tools"),
+        tools=_merged_tools(st, body),
         enable_thinking=body.get("thinking", body.get("enable_thinking", True)),
     )
 
@@ -138,25 +182,36 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
             raise
         return resp
 
-    # non-streaming
+    # non-streaming (with up to 4 MCP auto-execution rounds,
+    # server/mod.rs:1016-1127)
     content_parts: List[str] = []
     reasoning_parts: List[str] = []
     n_out = 0
-    while True:
-        item = await _next_item(queue)
-        if item.token_id is not None:
-            n_out += 1
-        events = parser.push(item.text) if item.text else []
-        if item.finished:
-            events += parser.finish()
-        for kind, payload in events:
-            if kind == "content":
-                content_parts.append(payload)
-            elif kind == "reasoning":
-                reasoning_parts.append(payload)
-        if item.finished:
-            finish_reason = item.finish_reason
+    for _round in range(4):
+        while True:
+            item = await _next_item(queue)
+            if item.token_id is not None:
+                n_out += 1
+            events = parser.push(item.text) if item.text else []
+            if item.finished:
+                events += parser.finish()
+            for kind, payload in events:
+                if kind == "content":
+                    content_parts.append(payload)
+                elif kind == "reasoning":
+                    reasoning_parts.append(payload)
+            if item.finished:
+                finish_reason = item.finish_reason
+                break
+        if not await _run_mcp_round(st, body, parser):
             break
+        # tools executed: re-render with tool results and generate again
+        prompt = _render_prompt(st, body)
+        seq_id = st.engine.add_request(prompt, sp)
+        queue = st.engine.get_stream(seq_id)
+        seq = st.engine.requests[seq_id].seq
+        parser = StreamParser(st.tool_config)
+        content_parts, reasoning_parts = [], []
     msg: Dict[str, Any] = {"role": "assistant", "content": "".join(content_parts)}
     if reasoning_parts:
         msg["reasoning_content"] = "".join(reasoning_parts)
