@@ -1,0 +1,132 @@
+"""Continuous-batching serving benchmark: TTFT / ITL percentiles + throughput.
+
+The BASELINE metric harness (BASELINE.md: "p50 TTFT + ITL under continuous
+batching", 64-stream config): N concurrent streams of random prompts flow
+through the engine's background loop; per-stream first-token and
+inter-token latencies are measured at the queue boundary (what an SSE
+client would see).
+
+Usage: python bench_serving.py [--size tiny|8b] [--streams 64]
+                               [--prompt-tokens 128] [--decode-tokens 128]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="8b", choices=["tiny", "8b"])
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--prompt-tokens", type=int, default=128)
+    ap.add_argument("--decode-tokens", type=int, default=128)
+    ap.add_argument("--multi-step", type=int, default=8)
+    args = ap.parse_args()
+
+    import bench
+
+    from vllm_rs_tpu.config import SamplingParams
+
+    # build via bench.py's config, overriding scheduler for serving
+    import dataclasses
+
+    engine = bench.build(args.size)
+    engine.econfig = dataclasses.replace(
+        engine.econfig,
+        scheduler=dataclasses.replace(
+            engine.econfig.scheduler,
+            max_num_seqs=max(args.streams, 8),
+            multi_step_decode=args.multi_step,
+        ),
+    )
+    engine.scheduler.config = engine.econfig.scheduler
+    vocab = engine.econfig.model.vocab_size
+    rs = np.random.RandomState(0)
+
+    # warmup
+    sid = engine.add_request(
+        list(rs.randint(1, vocab - 1, size=args.prompt_tokens)),
+        SamplingParams(temperature=0.0, max_tokens=args.multi_step + 1, ignore_eos=True),
+    )
+    engine.start_loop()
+    q = engine.get_stream(sid)
+    while not q.get(timeout=600).finished:
+        pass
+
+    results = []
+    lock = threading.Lock()
+
+    def stream_worker(i):
+        prompt = list(rs.randint(1, vocab - 1, size=args.prompt_tokens))
+        t0 = time.perf_counter()
+        sid = engine.add_request(
+            prompt,
+            SamplingParams(temperature=0.0, max_tokens=args.decode_tokens, ignore_eos=True),
+        )
+        queue = engine.get_stream(sid)
+        ttft = None
+        last = None
+        itls = []
+        n = 0
+        while True:
+            item = queue.get(timeout=600)
+            now = time.perf_counter()
+            if item.token_id is not None:
+                n += 1
+                if ttft is None:
+                    ttft = now - t0
+                elif last is not None:
+                    itls.append(now - last)
+                last = now
+            if item.finished:
+                break
+        with lock:
+            results.append((ttft, itls, n, now - t0))
+
+    t_start = time.perf_counter()
+    threads = [
+        threading.Thread(target=stream_worker, args=(i,)) for i in range(args.streams)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    engine.stop_loop()
+
+    ttfts = sorted(r[0] for r in results)
+    all_itls = sorted(x for r in results for x in r[1])
+    total_tokens = sum(r[2] for r in results)
+
+    def pct(v, p):
+        return v[min(int(len(v) * p / 100), len(v) - 1)] if v else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "serving_throughput_tokens_per_sec",
+                "value": round(total_tokens / wall, 2),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(total_tokens / wall / 120.74, 4),
+                "streams": args.streams,
+                "p50_ttft_s": round(pct(ttfts, 50), 3),
+                "p99_ttft_s": round(pct(ttfts, 99), 3),
+                "p50_itl_ms": round(pct(all_itls, 50) * 1e3, 2),
+                "p99_itl_ms": round(pct(all_itls, 99) * 1e3, 2),
+                "total_tokens": total_tokens,
+                "wall_s": round(wall, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
