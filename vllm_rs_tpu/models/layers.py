@@ -25,6 +25,7 @@ from vllm_rs_tpu.ops.attention import paged_attention
 from vllm_rs_tpu.ops.attn_meta import AttnMeta
 from vllm_rs_tpu.ops.quant_matmul import quant_matmul
 from vllm_rs_tpu.ops.rope import apply_rope
+from vllm_rs_tpu.quant.fp8 import Fp8BlockTensor
 from vllm_rs_tpu.quant.pack import PackedInt4Tensor, QuantizedTensor
 
 
@@ -38,7 +39,7 @@ def linear(p, x: jax.Array) -> jax.Array:
     b = None
     if isinstance(p, Linear):
         p, b = p.w, p.b
-    if isinstance(p, (QuantizedTensor, PackedInt4Tensor)):
+    if isinstance(p, (QuantizedTensor, PackedInt4Tensor, Fp8BlockTensor)):
         y = quant_matmul(x, p)
     else:
         y = jnp.dot(x, p.astype(x.dtype), preferred_element_type=jnp.float32).astype(

@@ -22,7 +22,11 @@ def quant_matmul_reference(x: jax.Array, qt: AnyQuantTensor) -> jax.Array:
     ).astype(x.dtype)
 
 
-def quant_matmul(x: jax.Array, qt: AnyQuantTensor, backend: str = "auto") -> jax.Array:
+def quant_matmul(x: jax.Array, qt, backend: str = "auto") -> jax.Array:
+    from vllm_rs_tpu.quant.fp8 import Fp8BlockTensor, fp8_matmul
+
+    if isinstance(qt, Fp8BlockTensor):
+        return fp8_matmul(x, qt)
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "reference"
     if backend == "pallas":

@@ -99,6 +99,8 @@ class _Loader:
         """
         if prefix + ".qweight" in self.st:
             w = self._wna16(prefix)
+        elif prefix + ".weight_scale_inv" in self.st:
+            w = self._fp8(prefix)
         else:
             w = self.t(prefix + ".weight").T
             w = _maybe_quant(w, self.quant if quantize else None, self.group)
@@ -106,6 +108,18 @@ class _Loader:
         if bkey in self.st:
             return Linear(w, self.t(bkey))
         return w
+
+    def _fp8(self, prefix: str) -> object:
+        """DeepSeek-style blockwise FP8: weight f8e4m3 [N, K] +
+        weight_scale_inv f32 [N/Bn, K/Bk] → transposed Fp8BlockTensor."""
+        from vllm_rs_tpu.quant.fp8 import Fp8BlockTensor
+
+        w = self.st.get(prefix + ".weight")  # [N, K] f8
+        s = self.st.get(prefix + ".weight_scale_inv").astype(jnp.float32)
+        N, K = w.shape
+        Bk = K // s.shape[1]
+        Bn = N // s.shape[0]
+        return Fp8BlockTensor(w.T, s.T, (Bk, Bn))
 
     def _wna16(self, prefix: str) -> object:
         from vllm_rs_tpu.quant.wna16 import awq_to_canonical, gptq_to_canonical
