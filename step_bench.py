@@ -26,7 +26,7 @@ model_cfg = ModelConfig(model_type="llama", hidden_size=D, intermediate_size=I,
     eos_token_ids=(128001,))
 econfig = EngineConfig(model=model_cfg,
     cache=CacheConfig(block_size=16, num_blocks=512),
-    scheduler=SchedulerConfig(max_num_seqs=8, chunk_size=1024, max_model_len=2048),
+    scheduler=SchedulerConfig(max_num_seqs=8, chunk_size=1024, max_model_len=int(__import__("os").environ.get("MML", "2048"))),
     quant=QUANT, decode_buckets=(8,))
 m = CausalLM(model_cfg, block_size=16)
 t0 = time.time()

@@ -37,7 +37,14 @@ def _llama_to_hf(params, cfg) -> dict:
         p = f"model.layers.{i}"
         sd[f"{p}.input_layernorm.weight"] = _np(lp["input_ln"][i])
         sd[f"{p}.post_attention_layernorm.weight"] = _np(lp["post_ln"][i])
+        if "gate_up" in lp:
+            gu = _np(lp["gate_up"][i])
+            I = gu.shape[1] // 2
+            sd[f"{p}.mlp.gate_proj.weight"] = gu[:, :I].T
+            sd[f"{p}.mlp.up_proj.weight"] = gu[:, I:].T
         for ours, hf in names.items():
+            if ours not in lp:
+                continue
             w = lp[ours]
             if isinstance(w, Linear):
                 sd[f"{p}.{hf}.weight"] = _np(w.w[i]).T

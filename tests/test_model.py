@@ -38,9 +38,15 @@ def dense_reference_logits(params, cfg, token_ids):
     pos = jnp.arange(T, dtype=jnp.float32)
     for l in range(L):
         x = norm(h, lp["input_ln"][l])
-        q = (x @ lp["q"][l].astype(x.dtype)).reshape(T, Hq, Dh)
-        k = (x @ lp["k"][l].astype(x.dtype)).reshape(T, Hk, Dh)
-        v = (x @ lp["v"][l].astype(x.dtype)).reshape(T, Hk, Dh)
+        if "qkv" in lp:
+            qkv = x @ lp["qkv"][l].astype(x.dtype)
+            q = qkv[:, : Hq * Dh].reshape(T, Hq, Dh)
+            k = qkv[:, Hq * Dh : (Hq + Hk) * Dh].reshape(T, Hk, Dh)
+            v = qkv[:, (Hq + Hk) * Dh :].reshape(T, Hk, Dh)
+        else:
+            q = (x @ lp["q"][l].astype(x.dtype)).reshape(T, Hq, Dh)
+            k = (x @ lp["k"][l].astype(x.dtype)).reshape(T, Hk, Dh)
+            v = (x @ lp["v"][l].astype(x.dtype)).reshape(T, Hk, Dh)
         # neox rope
         inv = lp["inv_freq"][l]
         ang = pos[:, None] * inv[None, :]
@@ -61,8 +67,12 @@ def dense_reference_logits(params, cfg, token_ids):
         attn = jnp.einsum("hts,shd->thd", probs, vr.astype(jnp.float32)).astype(h.dtype)
         h = h + attn.reshape(T, Hq * Dh) @ lp["o"][l].astype(h.dtype)
         x = norm(h, lp["post_ln"][l])
-        gate = x @ lp["gate"][l].astype(x.dtype)
-        up = x @ lp["up"][l].astype(x.dtype)
+        if "gate_up" in lp:
+            gu = x @ lp["gate_up"][l].astype(x.dtype)
+            gate, up = gu[:, : gu.shape[1] // 2], gu[:, gu.shape[1] // 2 :]
+        else:
+            gate = x @ lp["gate"][l].astype(x.dtype)
+            up = x @ lp["up"][l].astype(x.dtype)
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
         h = h + act @ lp["down"][l].astype(h.dtype)
     h = norm(h, params["final_norm"])

@@ -159,5 +159,7 @@ class TestLoaderIntegration:
         gptq_tensors(f"{p}.mlp.down_proj", 96, 64)
         save_file(sd, str(tmp_path / "model.safetensors"))
         params = load_params(str(tmp_path), cfg)
-        assert isinstance(params["layers"]["q"], PackedInt4Tensor)
-        assert params["layers"]["q"].qweight.shape == (1, 32, 64)
+        # q/k/v fuse into one merged projection (all PackedInt4, no bias)
+        qkv = params["layers"]["qkv"]
+        assert isinstance(qkv, PackedInt4Tensor)
+        assert qkv.qweight.shape == (1, 32, 64 + 32 + 32)

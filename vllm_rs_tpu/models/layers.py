@@ -74,10 +74,53 @@ _ACT = {
 
 
 def mlp(lp: dict, h: jax.Array, act: str = "silu") -> jax.Array:
-    """Gated MLP: down(act(gate(h)) * up(h)) (reference mlp.rs)."""
-    gate = linear(lp["gate"], h)
-    up = linear(lp["up"], h)
+    """Gated MLP: down(act(gate(h)) * up(h)) (reference mlp.rs). A fused
+    "gate_up" weight [D, 2I] halves launches + activation quants."""
+    if "gate_up" in lp:
+        gu = linear(lp["gate_up"], h)
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = linear(lp["gate"], h)
+        up = linear(lp["up"], h)
     return linear(lp["down"], _ACT[act](gate, up))
+
+
+def qkv_rope(lp: dict, h: jax.Array, meta: AttnMeta, config: ModelConfig):
+    """Shared projection head: qkv proj → q/k norms → RoPE.
+
+    A fused "qkv" weight [D, (Hq+2Hk)*Dh] (reference
+    MergedParallelColumnLinear, distributed.rs:116) runs ONE kernel launch
+    and one activation quantization instead of three."""
+    B, T, _ = h.shape
+    Hq = config.num_attention_heads
+    Hk = config.num_key_value_heads
+    Dh = config.head_dim_
+
+    if "qkv" in lp:
+        qkv = linear(lp["qkv"], h)
+        q, k, v = jnp.split(qkv, [Hq * Dh, (Hq + Hk) * Dh], axis=-1)
+        q = q.reshape(B, T, Hq, Dh)
+        k = k.reshape(B, T, Hk, Dh)
+        v = v.reshape(B, T, Hk, Dh)
+    else:
+        q = linear(lp["q"], h).reshape(B, T, Hq, Dh)
+        k = linear(lp["k"], h).reshape(B, T, Hk, Dh)
+        v = linear(lp["v"], h).reshape(B, T, Hk, Dh)
+
+    if config.qk_norm:
+        q = rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.norm_plus_one)
+        k = rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.norm_plus_one)
+
+    if config.qk_l2_norm:  # minimax (attention.rs:749-757)
+        q = q * jax.lax.rsqrt(
+            jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True) + 1e-6
+        ).astype(q.dtype)
+        k = k * jax.lax.rsqrt(
+            jnp.sum(k.astype(jnp.float32) ** 2, axis=-1, keepdims=True) + 1e-6
+        ).astype(k.dtype)
+
+    q, k = apply_rope(q, k, meta.positions, lp["inv_freq"], config.rotary_dim)
+    return q, k, v
 
 
 def attention_block(
@@ -97,28 +140,7 @@ def attention_block(
     (KV write + attend) → o proj. Returns (attn_out [B,T,D], kv_l).
     """
     B, T, _ = h.shape
-    Hq = config.num_attention_heads
-    Hk = config.num_key_value_heads
-    Dh = config.head_dim_
-
-    q = linear(lp["q"], h).reshape(B, T, Hq, Dh)
-    k = linear(lp["k"], h).reshape(B, T, Hk, Dh)
-    v = linear(lp["v"], h).reshape(B, T, Hk, Dh)
-
-    if config.qk_norm:
-        q = rms_norm(q, lp["q_norm"], config.rms_norm_eps, config.norm_plus_one)
-        k = rms_norm(k, lp["k_norm"], config.rms_norm_eps, config.norm_plus_one)
-
-    if config.qk_l2_norm:  # minimax (attention.rs:749-757)
-        q = q * jax.lax.rsqrt(
-            jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True) + 1e-6
-        ).astype(q.dtype)
-        k = k * jax.lax.rsqrt(
-            jnp.sum(k.astype(jnp.float32) ** 2, axis=-1, keepdims=True) + 1e-6
-        ).astype(k.dtype)
-
-    q, k = apply_rope(q, k, meta.positions, lp["inv_freq"], config.rotary_dim)
-
+    q, k, v = qkv_rope(lp, h, meta, config)
     out, kv_l = paged_attention(
         q,
         k,
@@ -131,8 +153,37 @@ def attention_block(
         sliding_window=sliding_window,
         backend=attn_backend,
     )
-    o = linear(lp["o"], out.reshape(B, T, Hq * Dh))
+    o = linear(lp["o"], out.reshape(B, T, -1))
     return o, kv_l
+
+
+def attention_block_deferred(
+    lp: dict,
+    h: jax.Array,  # [B, 1, D]
+    meta: AttnMeta,
+    kv_l: jax.Array,  # read-only [2, S, Hk*Dh]
+    config: ModelConfig,
+    *,
+    block_size: int,
+    scale: float,
+    sliding_window: int = 0,
+    attn_backend: str = "auto",
+):
+    """Decode attention with deferred KV write: the per-layer cache is only
+    READ here; the new token's K/V returns to the caller for one post-scan
+    scatter. Returns (attn_out, k_new [B,1,Hk,Dh], v_new)."""
+    from vllm_rs_tpu.ops.attention import paged_attention_deferred
+
+    B, T, _ = h.shape
+    q, k, v = qkv_rope(lp, h, meta, config)
+    out = paged_attention_deferred(
+        q, k, v, kv_l, meta,
+        block_size=block_size, scale=scale,
+        logit_softcap=config.attn_logit_softcap,
+        sliding_window=sliding_window, backend=attn_backend,
+    )
+    o = linear(lp["o"], out.reshape(B, T, -1))
+    return o, k, v
 
 
 def gather_last_hidden(hidden: jax.Array, meta: AttnMeta) -> jax.Array:

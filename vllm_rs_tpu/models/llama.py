@@ -108,20 +108,23 @@ class CausalLM:
             x = (jax.random.normal(k, shape, dtype=jnp.float32) * 0.02).astype(dtype)
             return self._quantize(x, quant if q else None, quant_group)
 
+        fuse = not cfg.attention_bias  # biased projections stay separate
         layers = {
             "input_ln": jnp.ones((L, D), dtype=dtype),
             "post_ln": jnp.ones((L, D), dtype=dtype),
-            "q": w(next(keys), (L, D, Hq * Dh)),
-            "k": w(next(keys), (L, D, Hk * Dh)),
-            "v": w(next(keys), (L, D, Hk * Dh)),
             "o": w(next(keys), (L, Hq * Dh, D)),
-            "gate": w(next(keys), (L, D, I)),
-            "up": w(next(keys), (L, D, I)),
             "down": w(next(keys), (L, I, D)),
             "inv_freq": jnp.broadcast_to(
                 rope_inv_freq(cfg)[None, :], (L, cfg.rotary_dim // 2)
             ),
         }
+        layers["gate_up"] = w(next(keys), (L, D, 2 * I))
+        if fuse:
+            layers["qkv"] = w(next(keys), (L, D, (Hq + 2 * Hk) * Dh))
+        else:
+            layers["q"] = w(next(keys), (L, D, Hq * Dh))
+            layers["k"] = w(next(keys), (L, D, Hk * Dh))
+            layers["v"] = w(next(keys), (L, D, Hk * Dh))
         if cfg.attention_bias:
             for name, n in (("q", Hq * Dh), ("k", Hk * Dh), ("v", Hk * Dh)):
                 layers[name] = Linear(layers[name], jnp.zeros((L, n), dtype=dtype))
@@ -193,17 +196,46 @@ class CausalLM:
             )
             h = flat.reshape(B, T, D)
 
+        # deferred-write decode: the cache is read-only inside the scan
+        # (scan ys would otherwise rewrite the full pool every step); the
+        # new KV rows scatter once afterwards. Only the base GQA attention
+        # participates — subclasses with custom attention use the classic
+        # write-in-scan path.
+        deferred = (
+            token_ids.shape[1] == 1
+            and isinstance(kv, jax.Array)
+            and type(self).attention is CausalLM.attention
+        )
+        if deferred:
+            from vllm_rs_tpu.models.layers import attention_block_deferred
+            from vllm_rs_tpu.ops.attention import scatter_deferred_kv
+
+            def layer_fn(h, xs):
+                lp, kv_l = xs
+                attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
+                window = lp.get("window", cfg.sliding_window)
+                attn_out, k_new, v_new = attention_block_deferred(
+                    lp, attn_in, meta, kv_l, cfg,
+                    block_size=self.block_size, scale=self.scale,
+                    sliding_window=window, attn_backend=self.attn_backend,
+                )
+                h = h + attn_out
+                mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
+                h = h + mlp(lp, mlp_in, cfg.hidden_act)
+                B = h.shape[0]
+                return h, (k_new.reshape(B, -1), v_new.reshape(B, -1))
+
+            h, (k_news, v_news) = jax.lax.scan(layer_fn, h, (params["layers"], kv))
+            kv = scatter_deferred_kv(kv, k_news, v_news, meta.slot_mapping)
+            return kv, h
+
         def layer_fn(h, xs):
             lp, kv_l = xs
             attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
             attn_out, kv_out = self.attention(lp, attn_in, meta, kv_l)
             h = h + attn_out
             mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
-            h = h + mlp(
-                {"gate": lp["gate"], "up": lp["up"], "down": lp["down"]},
-                mlp_in,
-                cfg.hidden_act,
-            )
+            h = h + mlp(lp, mlp_in, cfg.hidden_act)
             return h, kv_out
 
         h, kv = jax.lax.scan(layer_fn, h, (params["layers"], kv))

@@ -97,6 +97,72 @@ def paged_attention_reference(
     )
 
 
+def paged_attention_deferred(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k_new: jax.Array,  # [B, 1, Hk, D]
+    v_new: jax.Array,
+    kv_l: KVLayer,
+    meta: AttnMeta,
+    *,
+    block_size: int,
+    scale: float,
+    logit_softcap: float = 0.0,
+    sliding_window=0,
+    backend: str = "auto",
+) -> jax.Array:
+    """Decode attention WITHOUT writing the cache (deferred-write path):
+    the kernel reads pages covering [0, pos) and folds the current token's
+    K/V in as a self term; the caller scatters all layers' new KV into the
+    pool once, after the layer scan — removing the per-layer cache rewrite
+    that lax.scan ys forces (measured ~25% of the 8B decode step)."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "reference"
+    if backend == "pallas" and q.shape[-1] % 128 == 0 and not is_quantized_kv(kv_l):
+        from vllm_rs_tpu.ops.pallas.paged_attention import (
+            paged_attention_decode_pallas,
+        )
+
+        return paged_attention_decode_pallas(
+            q, kv_l[0], kv_l[1], meta,
+            block_size=block_size, scale=scale,
+            logit_softcap=logit_softcap, sliding_window=sliding_window,
+            k_self=k_new, v_self=v_new,
+        )
+    # reference: write into a throwaway copy and attend normally
+    kv_tmp = write_kv_layer(kv_l, k_new, v_new, meta.slot_mapping)
+    Hk = k_new.shape[2]
+    k, v = gather_kv_layer(kv_tmp, meta.block_tables, block_size, Hk)
+    return attend_gathered(
+        q, k, v, meta,
+        scale=scale, logit_softcap=logit_softcap, sliding_window=sliding_window,
+    )
+
+
+def scatter_deferred_kv(
+    kv: jax.Array,  # [L, 2, S, F]
+    k_news: jax.Array,  # [L, B, F]
+    v_news: jax.Array,
+    slot_mapping: jax.Array,  # [B, 1] int32, pad == S
+) -> jax.Array:
+    """One flat scatter installing every layer's deferred decode KV."""
+    L, _, S, F = kv.shape
+    slots = slot_mapping.reshape(-1)  # [B]
+    B = slots.shape[0]
+    flat = kv.reshape(L * 2 * S, F)
+    l_idx = jnp.arange(L, dtype=jnp.int32)[:, None]  # [L, 1]
+    valid = slots[None, :] < S
+    oob = L * 2 * S  # dropped by mode="drop"
+    k_idx = jnp.where(valid, (l_idx * 2) * S + slots[None, :], oob)
+    v_idx = jnp.where(valid, (l_idx * 2 + 1) * S + slots[None, :], oob)
+    flat = flat.at[k_idx.reshape(-1)].set(
+        k_news.reshape(L * B, F).astype(flat.dtype), mode="drop"
+    )
+    flat = flat.at[v_idx.reshape(-1)].set(
+        v_news.reshape(L * B, F).astype(flat.dtype), mode="drop"
+    )
+    return flat.reshape(L, 2, S, F)
+
+
 def paged_attention(
     q: jax.Array,
     k_new: jax.Array,  # [B, T, Hk, D]

@@ -41,7 +41,7 @@ def _decode_kernel(
     sw_ref,  # [1] int32 sliding window (0 = global attention)
     # tensors
     q_ref,  # [1, Hk, G, D]
-    *refs,  # P k-page refs, P v-page refs ([bs, Hk*D]), out, m, l, acc
+    *refs,  # [k_self, v_self,] P k-page refs, P v-page refs, out, m, l, acc
     pages_per_step: int,
     block_size: int,
     scale: float,
@@ -49,8 +49,12 @@ def _decode_kernel(
     num_steps: int,
     num_kv_heads: int,
     head_dim: int,
+    with_self: bool = False,
 ):
     P = pages_per_step
+    if with_self:
+        ks_ref, vs_ref = refs[0], refs[1]  # [1, 1, Hk*D] current token K/V
+        refs = refs[2:]
     k_refs = refs[:P]
     v_refs = refs[P : 2 * P]
     out_ref = refs[2 * P]
@@ -133,6 +137,35 @@ def _decode_kernel(
 
     @pl.when(j == num_steps - 1)
     def _():
+        if with_self:
+            # fold the current token's own K/V in as one extra column (its
+            # KV is written to the pool after the layer scan, so the pages
+            # do not contain it)
+            D = head_dim
+            Hk = num_kv_heads
+            G = q_ref.shape[2]
+            s_rows = []
+            pv_rows = []
+            for h in range(Hk):
+                q = q_ref[0, h].astype(jnp.float32)  # [G, D]
+                k_s = ks_ref[0, 0, h * D : (h + 1) * D].astype(jnp.float32)  # [D]
+                s_rows.append(jnp.sum(q * k_s[None, :], axis=1, keepdims=True))
+            s_self = jnp.concatenate(s_rows, axis=0) * scale  # [Hk*G, 1]
+            if logit_softcap > 0.0:
+                s_self = jnp.tanh(s_self / logit_softcap) * logit_softcap
+            m_prev = m_ref[...]
+            l_prev = l_ref[...]
+            m_new = jnp.maximum(m_prev, jnp.broadcast_to(s_self, m_prev.shape))
+            alpha = jnp.exp(m_prev - m_new)
+            p_self = jnp.exp(s_self - m_new[:, :1])  # [Hk*G, 1]
+            l_new = alpha * l_prev + jnp.broadcast_to(p_self, l_prev.shape)
+            for h in range(Hk):
+                v_s = vs_ref[0, 0, h * D : (h + 1) * D].astype(jnp.float32)
+                pv_rows.append(p_self[h * G : (h + 1) * G] * v_s[None, :])
+            pv = jnp.concatenate(pv_rows, axis=0)  # [Hk*G, D]
+            acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+            m_ref[...] = m_new
+            l_ref[...] = l_new
         l = jnp.maximum(l_ref[:, :1], 1e-9)
         out_ref[0] = (acc_ref[...] / l).astype(out_ref.dtype).reshape(out_ref.shape[1:])
 
@@ -141,7 +174,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "block_size", "scale", "logit_softcap",
-        "pages_per_step", "interpret",
+        "pages_per_step", "interpret", "with_self",
     ),
 )
 def _decode_call(
@@ -151,12 +184,15 @@ def _decode_call(
     block_tables,  # [B, MB]
     context_lens,  # [B]
     window,  # [1] int32 (0 = global)
+    k_self=None,  # [B, Hk*D] current-token K (deferred-write decode)
+    v_self=None,
     *,
     block_size: int,
     scale: float,
     logit_softcap: float,
     pages_per_step: int,
     interpret: bool,
+    with_self: bool = False,
 ):
     B, Hk, G, D = q.shape
     MB = block_tables.shape[1]
@@ -175,11 +211,17 @@ def _decode_call(
     kv_specs = [
         pl.BlockSpec((block_size, Hk * D), page_index(t)) for t in range(P)
     ]
+    self_specs = (
+        [pl.BlockSpec((1, 1, Hk * D), lambda b, j, bt, cl, sw: (b, 0, 0))] * 2
+        if with_self
+        else []
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, num_steps),
         in_specs=[
             pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl, sw: (b, 0, 0, 0)),
+            *self_specs,
             *kv_specs,
             *kv_specs,
         ],
@@ -199,6 +241,7 @@ def _decode_call(
         num_steps=num_steps,
         num_kv_heads=Hk,
         head_dim=D,
+        with_self=with_self,
     )
     out = pl.pallas_call(
         kernel,
@@ -213,6 +256,7 @@ def _decode_call(
         context_lens,
         window,
         q,
+        *([k_self, v_self] if with_self else []),
         *([k_cache] * P),
         *([v_cache] * P),
     )
@@ -269,6 +313,8 @@ def paged_attention_decode_pallas(
     sliding_window: int = 0,
     pages_per_step: int = 8,
     interpret: Optional[bool] = None,
+    k_self: Optional[jax.Array] = None,  # [B, 1, Hk, D] deferred-write K
+    v_self: Optional[jax.Array] = None,
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -284,17 +330,25 @@ def paged_attention_decode_pallas(
         window = sliding_window.astype(jnp.int32).reshape(1)
     else:
         window = jnp.full((1,), int(sliding_window), dtype=jnp.int32)
+    with_self = k_self is not None
+    ctx = meta.context_lens
+    if with_self:
+        # the current token is not in the pool: pages cover [0, pos)
+        ctx = ctx - 1
     out = _decode_call(
         qg,
         k_cache,
         v_cache,
         meta.block_tables,
-        meta.context_lens,
+        ctx,
         window,
+        k_self.reshape(B, 1, Hk * D) if with_self else None,
+        v_self.reshape(B, 1, Hk * D) if with_self else None,
         block_size=block_size,
         scale=float(scale),
         logit_softcap=float(logit_softcap),
         pages_per_step=P,
         interpret=bool(interpret),
+        with_self=with_self,
     )
     return out.reshape(B, 1, Hq, D)

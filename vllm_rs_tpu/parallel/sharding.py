@@ -26,6 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _COL = (P(None, None, "model"), P(None, "model"))
 _ROW = (P(None, "model", None), P(None))
 _PLANS = {
+    "qkv": _COL,
+    "gate_up": _COL,
     "q": _COL,
     "k": _COL,
     "v": _COL,

@@ -146,6 +146,33 @@ class _Loader:
 # ---------------------------------------------------------------------------
 
 
+def _fuse_n(*ws):
+    """Concatenate linear weights along N (merged projections,
+    reference MergedParallelColumnLinear) — None when layouts differ."""
+    from vllm_rs_tpu.quant.fp8 import Fp8BlockTensor
+    from vllm_rs_tpu.quant.pack import PackedInt4Tensor, QuantizedTensor
+
+    kinds = {type(w) for w in ws}
+    if len(kinds) != 1 or Linear in kinds or Fp8BlockTensor in kinds:
+        return None
+    k = kinds.pop()
+    if k in (QuantizedTensor, PackedInt4Tensor):
+        groups = {w.group_size for w in ws}
+        if len(groups) != 1:
+            return None
+        zeros = None
+        if all(w.zeros is not None for w in ws):
+            zeros = jnp.concatenate([w.zeros for w in ws], axis=1)
+        elif any(w.zeros is not None for w in ws):
+            return None
+        return k(
+            jnp.concatenate([w.qweight for w in ws], axis=1),
+            jnp.concatenate([w.scales for w in ws], axis=1),
+            zeros,
+        )
+    return jnp.concatenate(ws, axis=1)
+
+
 def _attn_common(ld: _Loader, p: str) -> dict:
     from vllm_rs_tpu.ops.rope import rope_inv_freq
 
@@ -159,6 +186,10 @@ def _attn_common(ld: _Loader, p: str) -> dict:
         "o": ld.lin(f"{p}.self_attn.o_proj"),
         "inv_freq": rope_inv_freq(cfg),
     }
+    fused = _fuse_n(d["q"], d["k"], d["v"])
+    if fused is not None:
+        d["qkv"] = fused
+        del d["q"], d["k"], d["v"]
     if cfg.qk_norm:
         d["q_norm"] = ld.norm(f"{p}.self_attn.q_norm")
         d["k_norm"] = ld.norm(f"{p}.self_attn.k_norm")
@@ -171,13 +202,14 @@ def _attn_common(ld: _Loader, p: str) -> dict:
 def _dense_layer(ld: _Loader, i: int) -> dict:
     p = f"model.layers.{i}"
     d = _attn_common(ld, p)
-    d.update(
-        {
-            "gate": ld.lin(f"{p}.mlp.gate_proj"),
-            "up": ld.lin(f"{p}.mlp.up_proj"),
-            "down": ld.lin(f"{p}.mlp.down_proj"),
-        }
-    )
+    gate = ld.lin(f"{p}.mlp.gate_proj")
+    up = ld.lin(f"{p}.mlp.up_proj")
+    d["down"] = ld.lin(f"{p}.mlp.down_proj")
+    fused = _fuse_n(gate, up)
+    if fused is not None:
+        d["gate_up"] = fused
+    else:
+        d["gate"], d["up"] = gate, up
     return d
 
 
