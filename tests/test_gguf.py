@@ -475,3 +475,33 @@ class TestGGUFEndToEnd:
             [[3, 4, 5, 6]], SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
         )
         assert len(outs[0].output_token_ids) == 5
+
+
+class TestGGUFTokenizer:
+    def test_bpe_reconstruction(self, tmp_path):
+        import struct as _s
+
+        from vllm_rs_tpu.utils.gguf import GGUFFile, tokenizer_from_gguf
+
+        # minimal gpt2-style vocab: bytes a, b, c + merge "a b"
+        def _arr_str(key, vals):
+            out = _gguf_string(key) + _s.pack("<I", 9) + _s.pack("<I", 8) + _s.pack("<Q", len(vals))
+            for v in vals:
+                out += _gguf_string(v)
+            return out
+
+        kv = [
+            _kv_str("general.architecture", "llama"),
+            _kv_str("tokenizer.ggml.model", "gpt2"),
+            _arr_str("tokenizer.ggml.tokens", ["a", "b", "c", "ab"]),
+            _arr_str("tokenizer.ggml.merges", ["a b"]),
+        ]
+        header = _s.pack("<IIQQ", GGUF_MAGIC, 3, 0, len(kv))
+        body = header + b"".join(kv)
+        p = str(tmp_path / "tok.gguf")
+        with open(p, "wb") as f:
+            f.write(body + b"\x00" * ((-len(body)) % 32))
+        tok = tokenizer_from_gguf(GGUFFile(p))
+        ids = tok.encode("ab").ids
+        assert ids == [3]  # merged token
+        assert tok.decode([0, 1, 2]) == "abc"

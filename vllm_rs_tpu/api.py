@@ -60,6 +60,10 @@ class EngineBuilder:
                 block_size=self.block_size,
             )
             tokenizer = _tokenizer_near(os.path.dirname(path))
+            if tokenizer is None:  # reconstruct from GGUF metadata
+                from vllm_rs_tpu.utils.gguf import GGUFFile, tokenizer_from_gguf
+
+                tokenizer = tokenizer_from_gguf(GGUFFile(path))
         else:
             from vllm_rs_tpu.utils.loader import load_model
 

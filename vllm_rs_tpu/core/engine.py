@@ -107,6 +107,9 @@ class LLMEngine:
         self.total_prompt_tokens = 0
         self.total_output_tokens = 0
         self.total_cached_tokens = 0
+        # periodic throughput reporting (engine.rs:1172-1215, every 5 s)
+        self._tp_last_time = time.time()
+        self._tp_last_tokens = 0
 
     # ------------------------------------------------------------------
     # admission (reference add_request, engine.rs:687-810)
@@ -232,7 +235,26 @@ class LLMEngine:
         with self._lock:
             emitted = self.scheduler.postprocess(batch, tokens)
             self._deliver(emitted)
+            self._maybe_log_throughput()
         return len(batch.seqs)
+
+    def _maybe_log_throughput(self) -> None:
+        now = time.time()
+        dt = now - self._tp_last_time
+        if dt < 5.0:
+            return
+        d_tokens = self.total_output_tokens - self._tp_last_tokens
+        if d_tokens:
+            logger.info(
+                "decode throughput: %.1f tok/s (%d seqs running, %d waiting, "
+                "KV %.0f%% used)",
+                d_tokens / dt,
+                len(self.scheduler.running),
+                len(self.scheduler.waiting),
+                100 * self.block_manager.used_ratio,
+            )
+        self._tp_last_time = now
+        self._tp_last_tokens = self.total_output_tokens
 
     def _deliver(self, emitted) -> None:
         for seq, tok in emitted:

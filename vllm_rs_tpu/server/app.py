@@ -56,10 +56,44 @@ class ServerState:
             return tok.decode(ids)
 
 
+def _chat_logger_middleware():
+    """Opt-in request/response file logging (reference VLLM_RS_CHAT_LOGGER,
+    server/logger.rs:31-85): set VLLM_RS_TPU_CHAT_LOGGER=1 to append JSONL
+    records under ./log/."""
+    import json
+    import os
+    import time as _t
+
+    @web.middleware
+    async def mw(request, handler):
+        if not os.environ.get("VLLM_RS_TPU_CHAT_LOGGER"):
+            return await handler(request)
+        body = None
+        if request.method == "POST" and request.path.startswith("/v1/"):
+            try:
+                body = await request.json()
+            except Exception:
+                body = None
+        resp = await handler(request)
+        if body is not None:
+            os.makedirs("log", exist_ok=True)
+            rec = {
+                "ts": _t.time(),
+                "path": request.path,
+                "request": body,
+                "status": getattr(resp, "status", None),
+            }
+            with open("log/chat_requests.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return resp
+
+    return mw
+
+
 def build_app(state: ServerState) -> web.Application:
     from vllm_rs_tpu.server import claude, openai
 
-    app = web.Application()
+    app = web.Application(middlewares=[_chat_logger_middleware()])
     app["state"] = state
     app.add_routes(openai.routes)
     app.add_routes(claude.routes)

@@ -423,6 +423,37 @@ def config_from_gguf(g: GGUFFile) -> "ModelConfig":
     return ModelConfig.from_hf_dict(cfg, mt)
 
 
+def tokenizer_from_gguf(g: GGUFFile):
+    """Reconstruct a `tokenizers.Tokenizer` from GGUF metadata (reference
+    gguf_helper.rs BPE/Unigram reconstruction): `tokenizer.ggml.model` is
+    "gpt2" (byte-level BPE with merges) or "llama" (SentencePiece unigram
+    with scores)."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+
+    md = g.metadata
+    tokens = md.get("tokenizer.ggml.tokens")
+    if not tokens:
+        return None
+    kind = md.get("tokenizer.ggml.model", "gpt2")
+    if kind == "gpt2":
+        vocab = {t: i for i, t in enumerate(tokens)}
+        merges = []
+        for m in md.get("tokenizer.ggml.merges", []) or []:
+            a, _, b = m.partition(" ")
+            merges.append((a, b))
+        tok = Tokenizer(models.BPE(vocab, merges, fuse_unk=False))
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tok.decoder = decoders.ByteLevel()
+    else:  # "llama": unigram/SPM with per-token scores
+        scores = md.get("tokenizer.ggml.scores") or [0.0] * len(tokens)
+        unk = int(md.get("tokenizer.ggml.unknown_token_id", 0))
+        tok = Tokenizer(
+            models.Unigram([(t, float(s)) for t, s in zip(tokens, scores)], unk)
+        )
+        tok.decoder = decoders.Replace("▁", " ")
+    return tok
+
+
 # GGUF tensor name → HF-style submodule path (per layer)
 _GGUF_NAMES = {
     "attn_q": "self_attn.q_proj",
