@@ -105,6 +105,14 @@ class EngineBuilder:
             params = shard_params(params, mesh)
         runner = ModelRunner(model, params, econfig, mesh=mesh)
         engine = LLMEngine(econfig, runner, tokenizer=tokenizer)
+        # generation_config.json defaults (reference GenerationConfig,
+        # config.rs:735-757): used by servers for unset sampling knobs
+        gc_path = os.path.join(path, "generation_config.json") if os.path.isdir(path) else None
+        if gc_path and os.path.exists(gc_path):
+            with open(gc_path) as f:
+                engine.generation_defaults = json.load(f)
+        else:
+            engine.generation_defaults = {}
         logger.info(
             "engine ready: %s, %d KV blocks x %d, max_len %d",
             config.model_type, cache.num_blocks, cache.block_size, max_len,

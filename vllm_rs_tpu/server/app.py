@@ -39,6 +39,8 @@ class ServerState:
         self.default_max_tokens = default_max_tokens
         # MCP manager (reference server/mod.rs:1016-1127 MCP tool execution)
         self.mcp = mcp
+        # per-session usage accounting (reference /v1/usage?session_id)
+        self.session_usage: dict = {}
         self.created = int(time.time())
 
     def tokenize(self, text: str):

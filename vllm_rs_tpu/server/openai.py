@@ -219,6 +219,14 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
         msg["tool_calls"] = [
             _tool_call_json(tc, i) for i, tc in enumerate(parser.tool_calls)
         ]
+    if body.get("session_id"):
+        su = st.session_usage.setdefault(
+            body["session_id"],
+            {"prompt_tokens": 0, "completion_tokens": 0, "requests": 0},
+        )
+        su["prompt_tokens"] += len(seq.prompt_token_ids)
+        su["completion_tokens"] += n_out
+        su["requests"] += 1
     return web.json_response(
         {
             "id": rid,
@@ -331,7 +339,15 @@ async def models(request: web.Request) -> web.Response:
 @routes.get("/v1/usage")
 async def usage(request: web.Request) -> web.Response:
     st = _state(request)
-    return web.json_response(st.engine.usage_stats())
+    stats = st.engine.usage_stats()
+    session = request.query.get("session_id")
+    if session:
+        stats = dict(stats)
+        stats["session_id"] = session
+        stats["session"] = st.session_usage.get(
+            session, {"prompt_tokens": 0, "completion_tokens": 0, "requests": 0}
+        )
+    return web.json_response(stats)
 
 
 @routes.post("/tokenize")

@@ -226,9 +226,24 @@ class PdClient:
         self._lock = threading.Lock()
 
     def _connect(self) -> socket.socket:
-        if self._sock is None:
-            self._sock = socket.create_connection(self.addr, timeout=300)
-        return self._sock
+        """Connect with retry (the reference Communicator reconnects every
+        5 s on connection loss, transfer/comm.rs:124-174)."""
+        import time as _t
+
+        last = None
+        for _ in range(12):
+            if self._sock is not None:
+                return self._sock
+            try:
+                self._sock = socket.create_connection(self.addr, timeout=300)
+                return self._sock
+            except OSError as e:
+                last = e
+                _t.sleep(5.0)
+        raise ConnectionError(f"PD server unreachable: {last}")
+
+    def invalidate(self) -> None:
+        self._sock = None
 
     def should_offload(self, token_ids: List[int]) -> bool:
         return len(token_ids) >= self.min_prompt_len
@@ -239,16 +254,20 @@ class PdClient:
         from vllm_rs_tpu.core.sequence import Sequence, SequenceStatus
 
         with self._lock:
-            sock = self._connect()
-            _send_msg(
-                sock,
-                {
-                    "type": "prefill",
-                    "token_ids": list(token_ids),
-                    "sampling": {"temperature": 0.0},
-                },
-            )
-            header, payload = _recv_msg(sock)
+            try:
+                sock = self._connect()
+                _send_msg(
+                    sock,
+                    {
+                        "type": "prefill",
+                        "token_ids": list(token_ids),
+                        "sampling": {"temperature": 0.0},
+                    },
+                )
+                header, payload = _recv_msg(sock)
+            except (ConnectionError, OSError):
+                self.invalidate()  # reconnect next call
+                raise
         assert header["type"] == "prefill_done", header
         leaves = _kv_from_wire(header["kv"], payload)
         import jax
