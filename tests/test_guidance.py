@@ -185,3 +185,43 @@ class TestEndToEnd:
         assert toks[0] in (7, 9)
         # after completing the choice only EOS is allowed
         assert toks[-1] == 0 or len(toks) == 1
+
+
+class TestToolCallConstraint:
+    def test_chain_accepts_valid_tool_call(self):
+        from vllm_rs_tpu.utils.guidance import build_constraint
+
+        a = build_constraint("tool_call", ("get_weather", "search"))
+        text = '<tool_call>{"name": "search", "arguments": {"q": "x"}}</tool_call>'
+        st = a.initial()
+        for ch in text:
+            st = a.step(st, ch)
+            assert st is not None, ch
+        assert a.is_accepting(st)
+
+    def test_chain_rejects_unknown_name(self):
+        from vllm_rs_tpu.utils.guidance import build_constraint
+
+        a = build_constraint("tool_call", ("get_weather",))
+        st = a.initial()
+        dead = False
+        for ch in '<tool_call>{"name": "hack"':
+            st = a.step(st, ch)
+            if st is None:
+                dead = True
+                break
+        assert dead
+
+    def test_sampling_params_from_tool_choice(self):
+        from vllm_rs_tpu.server.protocol import sampling_from_openai
+
+        body = {
+            "tools": [
+                {"type": "function", "function": {"name": "f1", "parameters": {}}}
+            ],
+            "tool_choice": "required",
+        }
+        sp = sampling_from_openai(body)
+        assert sp.constraint == ("tool_call", ("f1",))
+        body["tool_choice"] = "auto"
+        assert sampling_from_openai(body).constraint is None

@@ -53,7 +53,31 @@ def sampling_from_openai(body: Dict[str, Any], default_max: int = 1024) -> Sampl
             if kind in so:
                 sp.constraint = (kind, so[kind])
                 break
+    # forced tool calls: compile the tool schemas into a grammar constraint
+    # (reference tools/schema.rs builds an llguidance tool-call grammar)
+    if sp.constraint is None and body.get("tools"):
+        sp.constraint = tool_call_constraint(
+            body["tools"], body.get("tool_choice", "auto")
+        )
     return sp
+
+
+def tool_call_constraint(tools, tool_choice):
+    """tool_choice "required"/{"function": {...}} → a constraint forcing a
+    syntactically valid <tool_call>{...}</tool_call> body. "auto"/None → no
+    constraint (the model may or may not call tools)."""
+    if tool_choice in (None, "auto", "none"):
+        return None
+    names = [
+        t["function"]["name"] for t in tools if t.get("type") == "function"
+    ]
+    if isinstance(tool_choice, dict):
+        fn = (tool_choice.get("function") or {}).get("name")
+        if fn:
+            names = [fn]
+    if not names:
+        return None
+    return ("tool_call", tuple(names))
 
 
 def openai_chunk(

@@ -308,6 +308,53 @@ class ChoiceAutomaton(CharAutomaton):
         return any(p == len(self.choices[i]) for i, p in state)
 
 
+class ChainAutomaton(CharAutomaton):
+    """Sequential composition of automatons (literal → inner → literal…).
+
+    State = frozenset of (part_idx, part_state); a part's accepting state
+    epsilon-advances into the next part. Used for forced tool calls
+    (reference tools/schema.rs tool-call grammar):
+    `<tool_call>{"name": "<enum>", "arguments": <json>}</tool_call>`.
+    """
+
+    def __init__(self, parts):
+        self.parts = list(parts)
+
+    def _expand(self, states):
+        """Add epsilon-advances from accepting part states."""
+        out = set(states)
+        stack = list(states)
+        while stack:
+            i, st = stack.pop()
+            if i + 1 < len(self.parts) and self.parts[i].is_accepting(st):
+                nxt = (i + 1, self.parts[i + 1].initial())
+                if nxt not in out:
+                    out.add(nxt)
+                    stack.append(nxt)
+        return frozenset(out)
+
+    def initial(self):
+        return self._expand({(0, self.parts[0].initial())})
+
+    def step(self, state, ch):
+        nxt = set()
+        for i, st in state:
+            st2 = self.parts[i].step(st, ch)
+            if st2 is not None:
+                nxt.add((i, st2))
+        if not nxt:
+            return None
+        return self._expand(nxt)
+
+    def is_accepting(self, state):
+        last = len(self.parts) - 1
+        return any(i == last and self.parts[i].is_accepting(st) for i, st in state)
+
+
+def _literal(text: str) -> "ChoiceAutomaton":
+    return ChoiceAutomaton([text])
+
+
 class JsonAutomaton(CharAutomaton):
     """Any syntactically valid JSON value — pushdown automaton with the
     stack folded into the (hashable) state tuple: (mode, stack, extra)."""
@@ -525,6 +572,18 @@ def build_constraint(kind: str, arg) -> CharAutomaton:
         if rx is not None:
             return RegexAutomaton(rx)
         return JsonAutomaton()
+    if kind == "tool_call":
+        # forced tool call (reference tools/schema.rs grammar): arg = names
+        names = list(arg)
+        return ChainAutomaton(
+            [
+                _literal('<tool_call>{"name": "'),
+                ChoiceAutomaton(names),
+                _literal('", "arguments": '),
+                JsonAutomaton(),
+                _literal('}</tool_call>'),
+            ]
+        )
     raise ValueError(f"unknown constraint kind {kind!r}")
 
 
