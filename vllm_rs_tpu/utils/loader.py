@@ -362,8 +362,9 @@ def load_params(
 
     if not cfg.tie_word_embeddings:
         head = st.get("lm_head.weight").astype(dtype).T
+        # per-channel int8 head (see models/llama.py init_params)
         params["lm_head"] = _maybe_quant(
-            head, "int8" if quant is not None else None, quant_group
+            head, "int8" if quant is not None else None, head.shape[0]
         )
     logger.info("loaded %d tensors from %s", len(list(st.keys())), src)
     return params
