@@ -288,6 +288,9 @@ class SchedulerConfig:
     # on-device multi-step decode: tokens generated per engine step for
     # unguided, non-stop-string sequences (1 = classic per-token stepping)
     multi_step_decode: int = 1
+    # prompt-lookup speculative decoding: draft up to k tokens per greedy
+    # sequence and verify them in one forward (0 = disabled)
+    spec_decode_k: int = 0
 
 
 @dataclass(frozen=True)

@@ -228,7 +228,9 @@ class LLMEngine:
             batch = self.scheduler.schedule()
         if batch.is_empty:
             return 0
-        if batch.kind == "decode" and batch.n_steps > 1:
+        if batch.kind == "decode" and batch.drafts is not None:
+            tokens = self.runner.run_verify(batch, batch.drafts)
+        elif batch.kind == "decode" and batch.n_steps > 1:
             tokens = self.runner.run_multi(batch, batch.n_steps)
         else:
             tokens = self.runner.run(batch)

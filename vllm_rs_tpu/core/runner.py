@@ -461,6 +461,89 @@ class ModelRunner:
         self._step_counter += n_steps
         return np.asarray(out)[: len(seqs)]
 
+    # ------------------------------------------------------------------
+    # speculative decoding: verify k drafted tokens in one forward
+    # ------------------------------------------------------------------
+
+    def _verify_impl(self, params, kv, token_ids, meta: AttnMeta):
+        """Forward over [B, k+1] tokens → greedy argmax at EVERY position
+        (the verifier for prompt-lookup speculative decoding)."""
+        kv, hidden = self.model.forward(params, token_ids, meta, kv)
+        cfg = self.econfig.model
+        from vllm_rs_tpu.models.layers import linear, rms_norm
+
+        B, T, D = hidden.shape
+        h = rms_norm(
+            hidden.reshape(B * T, D), params["final_norm"],
+            cfg.rms_norm_eps, cfg.norm_plus_one,
+        )
+        if cfg.tie_word_embeddings:
+            logits = jnp.dot(
+                h, params["embed"].T.astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = linear(params["lm_head"], h).astype(jnp.float32)
+        if cfg.final_logit_softcap > 0.0:
+            c = cfg.final_logit_softcap
+            logits = jnp.tanh(logits / c) * c
+        return kv, jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(B, T)
+
+    def run_verify(self, batch: ScheduledBatch, drafts) -> list:
+        """Verify per-seq greedy drafts; returns accepted tokens per seq
+        (always ≥ 1: the bonus token from the last accepted position).
+
+        KV for rejected positions is written but never read — context_lens
+        only ever covers accepted tokens, and those slots are overwritten
+        when real tokens later occupy the same positions.
+        """
+        seqs = batch.seqs
+        k = max(len(d) for d in drafts)
+        T = k + 1
+        B = bucket_of(len(seqs), self.econfig.decode_buckets)
+        token_ids = np.zeros((B, T), dtype=np.int32)
+        positions = np.zeros((B, T), dtype=np.int32)
+        slots = np.full((B, T), self.num_slots, dtype=np.int32)
+        last_idx = np.zeros((B,), dtype=np.int32)
+        seq_slots = np.zeros((B,), dtype=np.int32)
+        block_tables, context_lens = self._fill_common(B, seqs)
+        for i, (seq, d) in enumerate(zip(seqs, drafts)):
+            row = [seq.last_token_id] + list(d) + [0] * (k - len(d))
+            start = seq.num_tokens - 1
+            token_ids[i, :] = row
+            positions[i, :] = np.arange(start, start + T, dtype=np.int32)
+            for j in range(1 + len(d)):
+                slots[i, j] = self._slot_of(seq, start + j)
+            context_lens[i] = start + 1 + len(d)
+            last_idx[i] = len(d)
+            seq_slots[i] = getattr(seq, "mamba_slot", 0) or 0
+        meta = AttnMeta(
+            positions=jnp.asarray(positions),
+            slot_mapping=jnp.asarray(slots),
+            block_tables=jnp.asarray(block_tables),
+            context_lens=jnp.asarray(context_lens),
+            last_token_idx=jnp.asarray(last_idx),
+            seq_slots=jnp.asarray(seq_slots),
+        )
+        if not hasattr(self, "_jit_verify"):
+            self._jit_verify = jax.jit(self._verify_impl, donate_argnames=("kv",))
+        self.kv, preds = self._jit_verify(
+            self.params, self.kv, jnp.asarray(token_ids), meta
+        )
+        preds = np.asarray(preds)
+        out = []
+        for i, (seq, d) in enumerate(zip(seqs, drafts)):
+            accepted = []
+            for j, dt in enumerate(d):
+                if int(preds[i, j]) == dt:
+                    accepted.append(dt)
+                else:
+                    break
+            bonus = int(preds[i, len(accepted)])
+            out.append(accepted + [bonus])
+        self._step_counter += 1
+        return out
+
     def reset_mamba_slot(self, slot: int) -> None:
         """Zero a reused mamba slot's recurrent + conv state."""
         if not isinstance(self.kv, dict):

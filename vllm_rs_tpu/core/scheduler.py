@@ -40,6 +40,8 @@ class ScheduledBatch:
     # decode only: tokens generated per sequence this step (multi-step
     # on-device decode; 1 = classic single-step)
     n_steps: int = 1
+    # speculative decode: per-seq greedy draft tokens to verify (or None)
+    drafts: Optional[List[List[int]]] = None
 
     @property
     def is_empty(self) -> bool:
@@ -198,7 +200,40 @@ class Scheduler:
         self.running = survivors
         batch.seqs = list(self.running)
         batch.n_steps = n_steps
+        if n_steps == 1:
+            self._maybe_speculate(batch)
         return batch
+
+    def _maybe_speculate(self, batch: ScheduledBatch) -> None:
+        """Prompt-lookup speculative decoding (utils/spec.py): greedy,
+        unguided sequences get up to k draft tokens verified in one step."""
+        k = self.config.spec_decode_k
+        if k <= 0 or not batch.seqs:
+            return
+        from vllm_rs_tpu.utils.spec import propose_prompt_lookup
+
+        drafts: List[List[int]] = []
+        any_draft = False
+        for seq in batch.seqs:
+            sp = seq.sampling_params
+            if not sp.greedy() or seq.guidance is not None or sp.stop:
+                drafts.append([])
+                continue
+            budget = min(
+                sp.max_tokens - len(seq.output_token_ids) - 1,
+                self.config.max_model_len - seq.num_tokens - 1,
+                k,
+            )
+            d = propose_prompt_lookup(seq.all_token_ids(), budget) if budget > 0 else []
+            drafts.append(d)
+            any_draft = any_draft or bool(d)
+        if not any_draft:
+            return
+        # reserve slots for each seq's verify span
+        for seq, d in zip(batch.seqs, drafts):
+            if not self.bm.append_slot(seq, len(d) + 1):
+                return  # pool pressure: fall back to plain decode
+        batch.drafts = drafts
 
     def _preempt(self, seq: Sequence) -> None:
         """Evict a running sequence under KV pressure: swap its KV to host
@@ -262,8 +297,9 @@ class Scheduler:
                 else:
                     self.waiting.appendleft(seq)
         else:
+            multi = batch.n_steps > 1 or batch.drafts is not None
             for si, seq in enumerate(batch.seqs):
-                toks = token_ids[si] if batch.n_steps > 1 else [token_ids[si]]
+                toks = token_ids[si] if multi else [token_ids[si]]
                 for t in toks:
                     if seq.is_finished:
                         break  # tokens past EOS/limit are discarded
