@@ -71,3 +71,28 @@ class TestPdRoundTrip:
         client = PdClient(None, ("127.0.0.1", 1), min_prompt_len=128)
         assert not client.should_offload(list(range(100)))
         assert client.should_offload(list(range(128)))
+
+
+class TestEngineIntegration:
+    def test_add_request_offloads_via_pd_client(self):
+        server_engine = _engine()
+        client_engine = _engine()
+        server = PdServer(server_engine, port=0)
+        server.start()
+        try:
+            client_engine.pd_client = PdClient(
+                client_engine, ("127.0.0.1", server.port), min_prompt_len=4
+            )
+            sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+            prompt = list(range(2, 18))
+            sid = client_engine.add_request(prompt, sp)
+            # admitted directly as RUNNING with the prompt KV installed
+            seq = client_engine.requests[sid].seq
+            assert seq.num_cached_tokens == len(prompt)
+            assert len(seq.output_token_ids) == 1
+            while not seq.is_finished:
+                client_engine.step()
+            local = _engine().generate([prompt], sp)[0].output_token_ids
+            assert seq.output_token_ids == local
+        finally:
+            server.stop()

@@ -136,6 +136,16 @@ class LLMEngine:
             raise ValueError(f"prompt ({len(token_ids)} tokens) >= max_model_len {max_len}")
         # clamp max_tokens to the KV budget (engine.rs:505-685)
         sp.max_tokens = max(1, min(sp.max_tokens, max_len - len(token_ids)))
+        # PD offload: long prompts prefill on the remote server
+        # (scheduler.rs:52-54 thresholds live in PdClient.should_offload)
+        pd = getattr(self, "pd_client", None)
+        if (
+            pd is not None
+            and pd.should_offload(token_ids)
+            and not images
+            and sp.constraint is None
+        ):
+            return pd.prefill_remote(list(token_ids), sp)
         image_seed = None
         if images:
             image_seed = images[0].seed

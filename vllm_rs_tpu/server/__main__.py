@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--chunk-size", type=int, default=2048)
     ap.add_argument("--mcp-config", default=None,
                     help="JSON config of MCP servers to expose as tools")
+    # PD disaggregation (reference --pd-server/--pd-client, main.rs:20-230)
+    ap.add_argument("--pd-server", type=int, default=None, metavar="PORT",
+                    help="run as a prefill server on PORT (no HTTP API)")
+    ap.add_argument("--pd-client", default=None, metavar="HOST:PORT",
+                    help="offload long prefills to a PD server")
+    ap.add_argument("--pd-min-prompt", type=int, default=128)
     ap.add_argument("--log-level", default="INFO")
     args = ap.parse_args()
 
@@ -61,6 +67,23 @@ def main() -> None:
     if os.path.isdir(args.model) and os.path.exists(tc_path):
         tpl = ChatTemplate.from_tokenizer_config(
             tc_path, engine.econfig.model.model_type
+        )
+    if args.pd_server is not None:
+        from vllm_rs_tpu.transfer import PdServer
+
+        srv = PdServer(engine, host=args.host, port=args.pd_server)
+        srv.start()
+        logging.getLogger(__name__).info("PD prefill server on :%d", srv.port)
+        import signal
+
+        signal.pause()
+        return
+    if args.pd_client:
+        from vllm_rs_tpu.transfer import PdClient
+
+        host, _, port = args.pd_client.rpartition(":")
+        engine.pd_client = PdClient(
+            engine, (host, int(port)), min_prompt_len=args.pd_min_prompt
         )
     mcp = None
     if args.mcp_config:
