@@ -158,8 +158,21 @@ class ModelRunner:
             pos % self.block_size
         )
 
+    def _bt_width(self, seqs) -> int:
+        """Bucketed block-table width: the attention kernels walk
+        ceil(MB/P) page steps, so sizing MB by the batch's actual max
+        context (power-of-two buckets, bounded compiles) instead of
+        max_model_len removes the dead page walk on short contexts. The
+        scheduler reserves blocks for a step's writes before run, so the
+        current block tables already cover this step."""
+        need = max((len(s.block_table) for s in seqs), default=1)
+        w = 8
+        while w < need:
+            w *= 2
+        return min(w, self.max_blocks_per_seq)
+
     def _fill_common(self, B, seqs):
-        MB = self.max_blocks_per_seq
+        MB = self._bt_width(seqs)
         block_tables = np.zeros((B, MB), dtype=np.int32)
         context_lens = np.zeros((B,), dtype=np.int32)
         for i, seq in enumerate(seqs):
@@ -424,7 +437,7 @@ class ModelRunner:
         assert batch.kind == "decode"
         seqs = batch.seqs
         B = bucket_of(len(seqs), self.econfig.decode_buckets)
-        MB = self.max_blocks_per_seq
+        MB = self._bt_width(seqs)
         start_tokens = np.zeros((B,), dtype=np.int32)
         start_pos = np.zeros((B,), dtype=np.int32)
         block_tables = np.zeros((B, MB), dtype=np.int32)
