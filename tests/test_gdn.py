@@ -154,3 +154,50 @@ class TestHybridModel:
         for _ in range(10):  # > mamba_slots if not recycled
             outs = engine.generate([[5, 6, 7]], sp)
             assert len(outs[0].output_token_ids) == 4
+
+
+class TestHybridMoE:
+    def test_qwen3_5_moe_generates(self):
+        from vllm_rs_tpu.core.engine import LLMEngine
+        from vllm_rs_tpu.core.runner import ModelRunner
+        from vllm_rs_tpu.models.qwen3_next import Qwen3NextForCausalLM
+
+        cfg = ModelConfig(
+            model_type="qwen3_5_moe",
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            vocab_size=128,
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            eos_token_ids=(0,),
+            extra=(
+                ("linear_num_key_heads", 2),
+                ("linear_num_value_heads", 4),
+                ("linear_key_head_dim", 8),
+                ("linear_value_head_dim", 8),
+                ("linear_conv_kernel_dim", 4),
+                ("full_attention_interval", 4),
+            ),
+        )
+        ec = EngineConfig(
+            model=cfg,
+            cache=CacheConfig(block_size=4, num_blocks=64, mamba_slots=8),
+            scheduler=SchedulerConfig(
+                max_num_seqs=4, chunk_size=32, max_model_len=128,
+                prefill_buckets=(8, 32),
+            ),
+            prefill_buckets=(8, 32),
+            decode_buckets=(4,),
+        )
+        m = Qwen3NextForCausalLM(cfg, block_size=4)
+        params = m.init_params(jax.random.PRNGKey(0))
+        engine = LLMEngine(ec, ModelRunner(m, params, ec))
+        outs = engine.generate(
+            [[5, 6, 7, 8, 9]],
+            SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True),
+        )
+        assert len(outs[0].output_token_ids) == 5

@@ -79,6 +79,10 @@ class ModelConfig:
     qk_norm: bool = False
     # minimax-style per-head q/k L2 normalization (attention.rs:749-757)
     qk_l2_norm: bool = False
+    # llama4 position-dependent attention temperature (attention.rs:783-798)
+    attn_temperature_tuning: bool = False
+    attn_floor_scale: float = 8192.0
+    attn_scale_coef: float = 0.1
     # gemma-style (weight + 1) norm semantics and embedding scaling
     norm_plus_one: bool = False
     embed_scale: float = 1.0
@@ -191,6 +195,9 @@ class ModelConfig:
             hidden_act=cfg.get("hidden_act", "silu"),
             qk_norm=mt in ("qwen3", "qwen3_moe") or cfg.get("use_qk_norm", False),
             qk_l2_norm=mt == "minimax" or cfg.get("qk_l2_norm", False),
+            attn_temperature_tuning=bool(cfg.get("attn_temperature_tuning", False)),
+            attn_floor_scale=float(cfg.get("floor_scale", 8192.0)),
+            attn_scale_coef=float(cfg.get("attn_scale", 0.1)),
             norm_plus_one=mt.startswith("gemma"),
             embed_scale=float(hidden) ** 0.5 if mt.startswith("gemma") else 1.0,
             final_logit_softcap=cfg.get("final_logit_softcapping", 0.0) or 0.0,

@@ -34,7 +34,7 @@ for _mt in ("qwen2_moe", "qwen3_moe", "mixtral", "glm4_moe", "minimax"):
 for _mt in ("qwen2_vl", "qwen2_5_vl", "qwen3_vl", "mistral3", "ministral3"):
     register(_mt, "vllm_rs_tpu.models.qwen_vl:QwenVLForCausalLM")
 # hybrid GDN family (qwen3_5.rs / deltanet.rs)
-for _mt in ("qwen3_next", "qwen3_5"):
+for _mt in ("qwen3_next", "qwen3_5", "qwen3_5_moe"):
     register(_mt, "vllm_rs_tpu.models.qwen3_next:Qwen3NextForCausalLM")
 # MLA family (deepseek3.rs / glm4_moe_lite.rs)
 for _mt in ("deepseek_v2", "deepseek_v3", "glm4_moe_lite", "kimi_k2"):

@@ -120,6 +120,15 @@ def qkv_rope(lp: dict, h: jax.Array, meta: AttnMeta, config: ModelConfig):
         ).astype(k.dtype)
 
     q, k = apply_rope(q, k, meta.positions, lp["inv_freq"], config.rotary_dim)
+
+    if config.attn_temperature_tuning:  # llama4 (attention.rs:783-798)
+        pos = meta.positions.astype(jnp.float32)  # [B, T]
+        scale = (
+            jnp.log(jnp.floor(pos / config.attn_floor_scale) + 1.0)
+            * config.attn_scale_coef
+            + 1.0
+        )
+        q = (q.astype(jnp.float32) * scale[:, :, None, None]).astype(q.dtype)
     return q, k, v
 
 

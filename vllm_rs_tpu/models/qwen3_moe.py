@@ -137,36 +137,7 @@ class MoECausalLM(CausalLM):
     # ------------------------------------------------------------------
 
     def _moe_block(self, lp: dict, h: jax.Array) -> jax.Array:
-        """Routed experts (+ shared expert) on [B, T, D] hidden states."""
-        cfg = self.config
-        B, T, D = h.shape
-        x = h.reshape(B * T, D)
-        router_logits = jnp.dot(
-            x.astype(jnp.float32),
-            lp["router"].astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        weights, ids = moe_route(router_logits, self.router_cfg, lp.get("router_bias"))
-        y = moe_mlp(
-            x, weights, ids, lp["w_gate"], lp["w_up"], lp["w_down"], cfg.hidden_act
-        )
-        if cfg.shared_expert_intermediate_size:
-            shared = mlp(
-                {
-                    "gate": lp["shared_gate_proj"],
-                    "up": lp["shared_up_proj"],
-                    "down": lp["shared_down_proj"],
-                },
-                x,
-                cfg.hidden_act,
-            )
-            if cfg.shared_expert_gate:
-                gate = jax.nn.sigmoid(
-                    jnp.dot(x.astype(jnp.float32), lp["shared_gate"].astype(jnp.float32))
-                )
-                shared = (shared.astype(jnp.float32) * gate).astype(shared.dtype)
-            y = y + shared
-        return y.reshape(B, T, D)
+        return moe_block(lp, h, self.config, self.router_cfg)
 
     def forward(self, params: dict, token_ids: jax.Array, meta: AttnMeta, kv: jax.Array):
         cfg = self.config
@@ -214,3 +185,38 @@ class MoECausalLM(CausalLM):
         else:
             kv = kv_moe
         return kv, h
+
+
+def moe_block(lp: dict, h, cfg, router_cfg):
+    """Routed experts (+ shared expert) on [B, T, D] hidden states.
+
+    Free function so the hybrid GDN model (qwen3_5_moe) reuses it with
+    per-layer (unstacked) parameters."""
+    B, T, D = h.shape
+    x = h.reshape(B * T, D)
+    router_logits = jnp.dot(
+        x.astype(jnp.float32),
+        lp["router"].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    weights, ids = moe_route(router_logits, router_cfg, lp.get("router_bias"))
+    y = moe_mlp(
+        x, weights, ids, lp["w_gate"], lp["w_up"], lp["w_down"], cfg.hidden_act
+    )
+    if cfg.shared_expert_intermediate_size:
+        shared = mlp(
+            {
+                "gate": lp["shared_gate_proj"],
+                "up": lp["shared_up_proj"],
+                "down": lp["shared_down_proj"],
+            },
+            x,
+            cfg.hidden_act,
+        )
+        if cfg.shared_expert_gate:
+            gate = jax.nn.sigmoid(
+                jnp.dot(x.astype(jnp.float32), lp["shared_gate"].astype(jnp.float32))
+            )
+            shared = (shared.astype(jnp.float32) * gate).astype(shared.dtype)
+        y = y + shared
+    return y.reshape(B, T, D)

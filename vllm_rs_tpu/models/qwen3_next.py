@@ -56,6 +56,19 @@ class Qwen3NextForCausalLM(CausalLM):
         self.dk_lin = int(config.extra_get("linear_key_head_dim", 128))
         self.dv_lin = int(config.extra_get("linear_value_head_dim", 128))
         self.conv_k = int(config.extra_get("linear_conv_kernel_dim", 4))
+        self.is_moe = config.num_experts > 0
+        if self.is_moe:
+            from vllm_rs_tpu.ops.moe import MoERouterConfig
+
+            self.router_cfg = MoERouterConfig(
+                num_experts=config.num_experts,
+                num_experts_per_tok=config.num_experts_per_tok,
+                scoring=config.router_scoring,
+                n_group=config.n_group,
+                topk_group=config.topk_group,
+                norm_topk_prob=config.norm_topk_prob,
+                routed_scaling_factor=config.routed_scaling_factor,
+            )
         self.key_dim = self.Hk_lin * self.dk_lin
         self.value_dim = self.Hv_lin * self.dv_lin
         self.conv_dim = 2 * self.key_dim + self.value_dim
@@ -108,10 +121,24 @@ class Qwen3NextForCausalLM(CausalLM):
             lp = {
                 "input_ln": jnp.ones((D,), dtype=dtype),
                 "post_ln": jnp.ones((D,), dtype=dtype),
-                "gate": w((D, I)),
-                "up": w((D, I)),
-                "down": w((I, D)),
             }
+            if self.is_moe:  # qwen3_5_moe hybrid (qwen3_5_moe.rs)
+                E, Im = cfg.num_experts, cfg.moe_intermediate_size
+                lp["router"] = w((D, E), q=None)
+                lp["w_gate"] = w((E, D, Im))
+                lp["w_up"] = w((E, D, Im))
+                lp["w_down"] = w((E, Im, D))
+                if cfg.shared_expert_intermediate_size:
+                    S = cfg.shared_expert_intermediate_size
+                    lp["shared_gate_proj"] = w((D, S))
+                    lp["shared_up_proj"] = w((D, S))
+                    lp["shared_down_proj"] = w((S, D))
+                    if cfg.shared_expert_gate:
+                        lp["shared_gate"] = w((D, 1), q=None)
+            else:
+                lp["gate"] = w((D, I))
+                lp["up"] = w((D, I))
+                lp["down"] = w((I, D))
             if t == "full":
                 lp.update(
                     {
@@ -284,7 +311,12 @@ class Qwen3NextForCausalLM(CausalLM):
                 gi += 1
             h = h + attn_out
             mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
-            h = h + mlp({"gate": lp["gate"], "up": lp["up"], "down": lp["down"]}, mlp_in, cfg.hidden_act)
+            if self.is_moe:
+                from vllm_rs_tpu.models.qwen3_moe import moe_block
+
+                h = h + moe_block(lp, mlp_in, cfg, self.router_cfg)
+            else:
+                h = h + mlp(lp, mlp_in, cfg.hidden_act)
         new_caches = {
             "kv": jnp.stack(kv_layers) if kv_layers else kv,
             "conv": conv_st,
