@@ -225,3 +225,10 @@ class TestClaude:
             json={"messages": [{"role": "user", "content": "t5 t6 t7"}]},
         ).json()
         assert r["input_tokens"] > 0
+
+
+class TestUI:
+    def test_index_serves_chat_page(self, server):
+        r = requests.get(server + "/")
+        assert r.ok and "text/html" in r.headers["Content-Type"]
+        assert "chat/completions" in r.text

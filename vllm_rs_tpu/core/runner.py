@@ -166,10 +166,11 @@ class ModelRunner:
         scheduler reserves blocks for a step's writes before run, so the
         current block tables already cover this step."""
         need = max((len(s.block_table) for s in seqs), default=1)
-        w = 8
-        while w < need:
-            w *= 2
-        return min(w, self.max_blocks_per_seq)
+        # two tiers only: each extra tier is an extra (n_steps, MB) compile
+        # of the step program, and a mid-run recompile costs far more than
+        # the page walk it saves
+        small = min(32, self.max_blocks_per_seq)
+        return small if need <= small else self.max_blocks_per_seq
 
     def _fill_common(self, B, seqs):
         MB = self._bt_width(seqs)

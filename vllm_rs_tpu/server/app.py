@@ -103,7 +103,13 @@ def build_app(state: ServerState) -> web.Application:
     async def health(_request):
         return web.json_response({"status": "ok"})
 
+    async def index(_request):
+        from vllm_rs_tpu.server.ui import INDEX_HTML
+
+        return web.Response(text=INDEX_HTML, content_type="text/html")
+
     app.router.add_get("/health", health)
+    app.router.add_get("/", index)
     return app
 
 
