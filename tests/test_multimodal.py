@@ -128,3 +128,88 @@ class TestVLEngine:
                 SamplingParams(max_tokens=2),
                 images=[img],
             )
+
+
+class TestMrope:
+    def test_equal_components_match_standard_rope(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vllm_rs_tpu.ops.rope import apply_mrope, apply_rope
+
+        key = jax.random.PRNGKey(0)
+        B, T, H, D = 2, 5, 4, 32
+        q = jax.random.normal(key, (B, T, H, D), jnp.float32)
+        k = jax.random.normal(key, (B, T, H, D), jnp.float32)
+        inv = 1.0 / (10000.0 ** (jnp.arange(0, D, 2) / D))
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (B, 1))
+        q1, k1 = apply_rope(q, k, pos, inv)
+        mpos = jnp.tile(pos[:, None, :], (1, 3, 1))
+        q2, k2 = apply_mrope(q, k, mpos, inv, (6, 5, 5))
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=1e-5)
+
+    def test_mrope_table_layout(self):
+        from vllm_rs_tpu.models.qwen_vl import QwenVLForCausalLM
+
+        cfg = ModelConfig(
+            model_type="qwen2_5_vl", hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            vocab_size=128, eos_token_ids=(0,),
+            extra=(("image_token_id", 100), ("vision_patch_size", 8),
+                   ("vision_width", 32), ("vision_layers", 1),
+                   ("vision_heads", 2), ("vision_spatial_merge", 2),
+                   ("mrope_section", (4, 2, 2))),
+        )
+        m = QwenVLForCausalLM(cfg, block_size=4)
+        img = type("I", (), {"grid": (4, 4), "num_tokens": 4})()
+        toks = [5, 6] + [100] * 4 + [7]
+        table, delta = m.build_mrope_table(toks, [img])
+        # text positions 0,1; image at temporal pos 2 with 2x2 h/w grid
+        assert list(table[0]) == [0, 1, 2, 2, 2, 2, 4]
+        assert list(table[1, 2:6]) == [2, 2, 3, 3]
+        assert list(table[2, 2:6]) == [2, 3, 2, 3]
+        assert delta == 5 - 7  # next pos 5, physical len 7
+
+    def test_vl_engine_with_mrope_generates(self):
+        engine, _ = _vl_engine_mrope()
+        img = preprocess_image(
+            _png_bytes(32, 32), patch_size=8, spatial_merge=2,
+            min_pixels=16 * 16, max_pixels=64 * 64,
+        )
+        prompt = [5, 6] + [100] * img.num_tokens + [7, 8]
+        sid = engine.add_request(
+            prompt, SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True),
+            images=[img],
+        )
+        while not engine.requests[sid].seq.is_finished:
+            engine.step()
+        assert len(engine.requests[sid].seq.output_token_ids) == 5
+
+
+def _vl_engine_mrope():
+    from vllm_rs_tpu.core.engine import LLMEngine
+    from vllm_rs_tpu.core.runner import ModelRunner
+    from vllm_rs_tpu.models.qwen_vl import QwenVLForCausalLM
+
+    cfg = ModelConfig(
+        model_type="qwen2_5_vl", hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=128, eos_token_ids=(0,),
+        extra=(("image_token_id", 100), ("vision_patch_size", 8),
+               ("vision_width", 32), ("vision_layers", 2),
+               ("vision_heads", 2), ("vision_spatial_merge", 2),
+               ("mrope_section", (4, 2, 2))),
+    )
+    ec = EngineConfig(
+        model=cfg,
+        cache=CacheConfig(block_size=4, num_blocks=64),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4, chunk_size=64, max_model_len=128, prefill_buckets=(16, 64)
+        ),
+        prefill_buckets=(16, 64),
+        decode_buckets=(4,),
+    )
+    m = QwenVLForCausalLM(cfg, block_size=4)
+    params = m.init_params(jax.random.PRNGKey(0))
+    return LLMEngine(ec, ModelRunner(m, params, ec)), m

@@ -187,6 +187,10 @@ class LLMEngine:
 
         seq.mm_embeds = np.concatenate(embeds, axis=0)
         seq.mm_positions = positions
+        if model.config.extra_get("mrope_section"):
+            seq.mrope_table, seq.mrope_delta = model.build_mrope_table(
+                token_ids, images
+            )
 
     def _make_guidance(self, constraint):
         """Build a GuidanceState (reference build_llg_factory + per-seq

@@ -202,6 +202,16 @@ class ModelRunner:
             context_lens[i] = start + c
             last_idx[i] = c - 1
         mm_embeds, mm_targets = self._prepare_mm(B, T, seqs, chunks)
+        mrope = None
+        if any(getattr(s, "mrope_table", None) is not None for s in seqs):
+            mrope = np.zeros((B, 3, T), dtype=np.int32)
+            mrope[:, :, :] = positions[:, None, :]
+            for i, (seq, c) in enumerate(zip(seqs, chunks)):
+                tbl = getattr(seq, "mrope_table", None)
+                start = seq.num_cached_tokens
+                if tbl is not None and start < tbl.shape[1]:
+                    end = min(start + c, tbl.shape[1])
+                    mrope[i, :, : end - start] = tbl[:, start:end]
         meta = AttnMeta(
             positions=jnp.asarray(positions),
             slot_mapping=jnp.asarray(slots),
@@ -211,6 +221,7 @@ class ModelRunner:
             seq_slots=jnp.asarray(seq_slots),
             mm_embeds=mm_embeds,
             mm_targets=mm_targets,
+            mrope_positions=jnp.asarray(mrope) if mrope is not None else None,
         )
         return jnp.asarray(token_ids), meta
 
@@ -258,6 +269,11 @@ class ModelRunner:
             slots[i, 0] = self._slot_of(seq, pos)
             context_lens[i] = seq.num_tokens
             seq_slots[i] = getattr(seq, "mamba_slot", 0) or 0
+        mrope = None
+        if any(getattr(s, "mrope_table", None) is not None for s in seqs):
+            mrope = np.broadcast_to(positions[:, None, :], (B, 3, 1)).copy()
+            for i, seq in enumerate(seqs):
+                mrope[i] += getattr(seq, "mrope_delta", 0)
         meta = AttnMeta(
             positions=jnp.asarray(positions),
             slot_mapping=jnp.asarray(slots),
@@ -265,6 +281,7 @@ class ModelRunner:
             context_lens=jnp.asarray(context_lens),
             last_token_idx=jnp.asarray(last_idx),
             seq_slots=jnp.asarray(seq_slots),
+            mrope_positions=jnp.asarray(mrope) if mrope is not None else None,
         )
         return jnp.asarray(token_ids), meta
 

@@ -64,6 +64,9 @@ class Sequence:
         # multimodal: vision embeddings [K, D] + their prompt positions
         self.mm_embeds = None
         self.mm_positions: List[int] = []
+        # Qwen-VL mrope: [3, prompt_len] position table + decode delta
+        self.mrope_table = None
+        self.mrope_delta = 0
         # paged-KV block table (logical block ids into the device pool)
         self.block_table: List[int] = []
         # tokens whose KV already exists in the cache (prefix hits + chunks)

@@ -119,7 +119,16 @@ def qkv_rope(lp: dict, h: jax.Array, meta: AttnMeta, config: ModelConfig):
             jnp.sum(k.astype(jnp.float32) ** 2, axis=-1, keepdims=True) + 1e-6
         ).astype(k.dtype)
 
-    q, k = apply_rope(q, k, meta.positions, lp["inv_freq"], config.rotary_dim)
+    sections = config.extra_get("mrope_section")
+    if meta.mrope_positions is not None and sections:
+        from vllm_rs_tpu.ops.rope import apply_mrope
+
+        q, k = apply_mrope(
+            q, k, meta.mrope_positions, lp["inv_freq"], tuple(sections),
+            config.rotary_dim,
+        )
+    else:
+        q, k = apply_rope(q, k, meta.positions, lp["inv_freq"], config.rotary_dim)
 
     if config.attn_temperature_tuning:  # llama4 (attention.rs:783-798)
         pos = meta.positions.astype(jnp.float32)  # [B, T]

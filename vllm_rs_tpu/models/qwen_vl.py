@@ -41,6 +41,35 @@ class QwenVLForCausalLM(CausalLM):
         params["vision"] = self.vision.init_params(k2, dtype=dtype)
         return params
 
+    def build_mrope_table(self, token_ids, images) -> tuple:
+        """Prompt mrope position table [3, len] + decode delta (qwen3_vl
+        mrope: text advances all components; an image spans one temporal
+        position with h/w from its merged grid)."""
+        m = self.vision.merge
+        table = np.zeros((3, len(token_ids)), dtype=np.int32)
+        pos = 0  # running max position
+        i = 0
+        img_iter = iter(images)
+        n = len(token_ids)
+        while i < n:
+            if token_ids[i] == self.image_token_id:
+                img = next(img_iter)
+                gh, gw = img.grid[0] // m, img.grid[1] // m
+                span = gh * gw
+                hh = np.repeat(np.arange(gh, dtype=np.int32), gw)
+                ww = np.tile(np.arange(gw, dtype=np.int32), gh)
+                table[0, i : i + span] = pos
+                table[1, i : i + span] = pos + hh
+                table[2, i : i + span] = pos + ww
+                pos = pos + max(gh, gw)
+                i += span
+            else:
+                table[:, i] = pos
+                pos += 1
+                i += 1
+        delta = pos - n  # decode position = physical + delta (all components)
+        return table, delta
+
     def encode_image(self, params: dict, image) -> np.ndarray:
         """ImageData → [num_tokens, hidden] embeddings (one jit per grid)."""
         out = jax.jit(self.vision.forward, static_argnames=("grid",))(

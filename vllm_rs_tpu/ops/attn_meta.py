@@ -39,3 +39,5 @@ class AttnMeta(NamedTuple):
     # flat targets into the [B*T] hidden rows (pad = B*T, dropped)
     mm_embeds: jax.Array = None
     mm_targets: jax.Array = None
+    # Qwen-VL mrope positions [B, 3, T] (t/h/w); None = standard 1D rope
+    mrope_positions: jax.Array = None

@@ -95,6 +95,51 @@ def yarn_attn_scale(config: ModelConfig) -> float:
     return 0.1 * mscale * math.log(factor) + 1.0
 
 
+def apply_mrope(
+    q: jax.Array,  # [B, T, Hq, D]
+    k: jax.Array,  # [B, T, Hk, D]
+    mrope_positions: jax.Array,  # [B, 3, T] int32 (t, h, w components)
+    inv_freq: jax.Array,  # [rd // 2]
+    sections,  # (n_t, n_h, n_w) frequency-dim split, sums to rd // 2
+    rotary_dim: Optional[int] = None,
+):
+    """Qwen-VL multimodal 3D rope (qwen3_vl mrope positions): each block of
+    frequency dims rotates by a different position component. Text tokens
+    carry equal components, which makes this identical to apply_rope there.
+    """
+    D = q.shape[-1]
+    rd = rotary_dim or D
+    half = rd // 2
+    assert sum(sections) == half, (sections, half)
+    # per-freq-dim component selector
+    sec_id = jnp.concatenate(
+        [jnp.full((n,), i, dtype=jnp.int32) for i, n in enumerate(sections)]
+    )  # [half]
+    # pos_per_dim [B, T, half]
+    pos = jnp.take_along_axis(
+        mrope_positions.astype(jnp.float32),  # [B, 3, T]
+        jnp.broadcast_to(
+            sec_id[None, :, None], (q.shape[0], half, q.shape[1])
+        ),
+        axis=1,
+    ).transpose(0, 2, 1)
+    angles = pos * inv_freq[None, None, :]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+
+    def rot(x):
+        xr, xp = x[..., :rd], x[..., rd:]
+        x1, x2 = xr[..., :half], xr[..., half:]
+        o1 = x1.astype(jnp.float32) * cos - x2.astype(jnp.float32) * sin
+        o2 = x2.astype(jnp.float32) * cos + x1.astype(jnp.float32) * sin
+        out = jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+        if rd < D:
+            out = jnp.concatenate([out, xp], axis=-1)
+        return out
+
+    return rot(q), rot(k)
+
+
 def apply_rope(
     q: jax.Array,  # [B, T, Hq, D]
     k: jax.Array,  # [B, T, Hk, D]
