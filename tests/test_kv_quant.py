@@ -78,3 +78,56 @@ class TestInt8KvEngine:
         # random tiny models have near-uniform logits; require the first
         # token to agree (argmax robust to <2% kv error at step 1)
         assert a[0] == b[0]
+
+
+class TestInt8KvKernel:
+    def test_decode_kernel_matches_reference(self):
+        """int8-KV decode kernel (column-scaled dequant) vs gather path."""
+        import jax
+        import jax.numpy as jnp
+
+        from vllm_rs_tpu.ops.attention import attend_gathered, gather_kv_layer
+        from vllm_rs_tpu.ops.attn_meta import AttnMeta
+        from vllm_rs_tpu.ops.kv_cache import write_kv_layer
+        from vllm_rs_tpu.ops.pallas.paged_attention import (
+            paged_attention_decode_pallas,
+        )
+
+        rs = np.random.RandomState(0)
+        B, Hq, Hk, D, bs, MB = 2, 4, 2, 128, 8, 4
+        S = B * MB * bs
+        kv_l = (
+            jnp.zeros((2, S, Hk * D), jnp.int8),
+            jnp.zeros((2, S, Hk), jnp.float32),
+        )
+        # write some context
+        ctx = 20
+        slot_map = np.full((B, ctx), S, np.int32)
+        bt = np.zeros((B, MB), np.int32)
+        for b in range(B):
+            bt[b] = np.arange(b * MB, (b + 1) * MB)
+            for t in range(ctx):
+                slot_map[b, t] = bt[b][t // bs] * bs + t % bs
+        k_ctx = jnp.asarray(rs.randn(B, ctx, Hk, D), jnp.float32)
+        v_ctx = jnp.asarray(rs.randn(B, ctx, Hk, D), jnp.float32)
+        kv_l = write_kv_layer(kv_l, k_ctx, v_ctx, jnp.asarray(slot_map))
+
+        q = jnp.asarray(rs.randn(B, 1, Hq, D), jnp.bfloat16)
+        meta = AttnMeta(
+            positions=jnp.full((B, 1), ctx - 1, jnp.int32),
+            slot_mapping=jnp.asarray(slot_map[:, ctx - 1 : ctx]),
+            block_tables=jnp.asarray(bt),
+            context_lens=jnp.full((B,), ctx, jnp.int32),
+            last_token_idx=jnp.zeros((B,), jnp.int32),
+        )
+        data, scales = kv_l
+        got = paged_attention_decode_pallas(
+            q, data[0], data[1], meta, block_size=bs, scale=D ** -0.5,
+            k_scales=scales[0], v_scales=scales[1], interpret=True,
+        )
+        k, v = gather_kv_layer(kv_l, meta.block_tables, bs, Hk)
+        expect = attend_gathered(q, k, v, meta, scale=D ** -0.5)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(expect, np.float32),
+            atol=0.03, rtol=0.03,
+        )

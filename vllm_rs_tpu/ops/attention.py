@@ -183,7 +183,21 @@ def paged_attention(
         backend = "pallas" if platform == "tpu" else "reference"
     if backend == "pallas" and q.shape[-1] % 128 != 0:
         backend = "reference"  # decode kernel wants lane-aligned head_dim
-    if backend == "pallas" and not is_quantized_kv(kv_l):
+    if backend == "pallas" and is_quantized_kv(kv_l) and q.shape[1] == 1:
+        # int8 KV decode: dequant folds into per-column score/prob scaling
+        # inside the kernel (the reference's fp8 dequant-in-kernel analog)
+        from vllm_rs_tpu.ops.pallas.paged_attention import (
+            paged_attention_decode_pallas,
+        )
+
+        data, scales = kv_l
+        out = paged_attention_decode_pallas(
+            q, data[0], data[1], meta,
+            block_size=block_size, scale=scale,
+            logit_softcap=logit_softcap, sliding_window=sliding_window,
+            k_scales=scales[0], v_scales=scales[1],
+        )
+    elif backend == "pallas" and not is_quantized_kv(kv_l):
         from vllm_rs_tpu.ops.pallas.paged_attention import paged_attention_pallas
 
         out = paged_attention_pallas(

@@ -41,7 +41,7 @@ def _decode_kernel(
     sw_ref,  # [1] int32 sliding window (0 = global attention)
     # tensors
     q_ref,  # [1, Hk, G, D]
-    *refs,  # [k_self, v_self,] P k-page refs, P v-page refs, out, m, l, acc
+    *refs,  # [k_self, v_self,] P k pages, P v pages, [P ks, P vs scales,] out, m, l, acc
     pages_per_step: int,
     block_size: int,
     scale: float,
@@ -50,6 +50,7 @@ def _decode_kernel(
     num_kv_heads: int,
     head_dim: int,
     with_self: bool = False,
+    kv_int8: bool = False,
 ):
     P = pages_per_step
     if with_self:
@@ -57,8 +58,13 @@ def _decode_kernel(
         refs = refs[2:]
     k_refs = refs[:P]
     v_refs = refs[P : 2 * P]
-    out_ref = refs[2 * P]
-    m_ref, l_ref, acc_ref = refs[2 * P + 1 :]
+    refs = refs[2 * P :]
+    if kv_int8:
+        ksc_refs = refs[:P]  # [bs, Hk] f32 per-slot-per-head K scales
+        vsc_refs = refs[P : 2 * P]
+        refs = refs[2 * P :]
+    out_ref = refs[0]
+    m_ref, l_ref, acc_ref = refs[1:]
 
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -85,6 +91,12 @@ def _decode_kernel(
         # [P*bs, Hk*D] — sublane concat of contiguous pages (measured cheap)
         kc = jnp.concatenate([k_refs[t][...] for t in range(P)], axis=0)
         vc = jnp.concatenate([v_refs[t][...] for t in range(P)], axis=0)
+        if kv_int8:
+            # int8 KV: dequant folds into per-COLUMN multiplies — K scales
+            # scale the score columns, V scales scale the prob columns
+            # (dequant never touches the [*, D] data on the VPU)
+            ksc = jnp.concatenate([ksc_refs[t][...] for t in range(P)], axis=0)
+            vsc = jnp.concatenate([vsc_refs[t][...] for t in range(P)], axis=0)
         G = q_ref.shape[2]
         # per-head MXU dots (cheap), then ONE wide softmax update — the
         # per-head-loop version spent ~8x on small-vector op overhead
@@ -92,14 +104,15 @@ def _decode_kernel(
         for h in range(Hk):
             q = q_ref[0, h].astype(jnp.bfloat16)  # [G, D]
             k_h = kc[:, h * D : (h + 1) * D]  # lane-aligned slice, [P*bs, D]
-            score_rows.append(
-                jax.lax.dot_general(
-                    q,
-                    k_h.astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            s_h = jax.lax.dot_general(
+                q,
+                k_h.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
+            if kv_int8:
+                s_h = s_h * ksc[:, h][None, :]
+            score_rows.append(s_h)
         scores = jnp.concatenate(score_rows, axis=0) * scale  # [Hk*G, P*bs]
         if logit_softcap > 0.0:
             scores = jnp.tanh(scores / logit_softcap) * logit_softcap
@@ -122,14 +135,20 @@ def _decode_kernel(
             jnp.sum(p, axis=1, keepdims=True), l_prev.shape
         )
         pb = p.astype(jnp.bfloat16)
-        pv_rows = [
-            jnp.dot(
-                pb[h * G : (h + 1) * G],
-                vc[:, h * D : (h + 1) * D].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
+        pv_rows = []
+        for h in range(Hk):
+            p_h = pb[h * G : (h + 1) * G]
+            if kv_int8:
+                p_h = (p[h * G : (h + 1) * G] * vsc[:, h][None, :]).astype(
+                    jnp.bfloat16
+                )
+            pv_rows.append(
+                jnp.dot(
+                    p_h,
+                    vc[:, h * D : (h + 1) * D].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
             )
-            for h in range(Hk)
-        ]
         pv = jnp.concatenate(pv_rows, axis=0)  # [Hk*G, D]
         acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
         m_ref[...] = m_new
@@ -174,7 +193,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "block_size", "scale", "logit_softcap",
-        "pages_per_step", "interpret", "with_self",
+        "pages_per_step", "interpret", "with_self", "kv_int8",
     ),
 )
 def _decode_call(
@@ -186,6 +205,8 @@ def _decode_call(
     window,  # [1] int32 (0 = global)
     k_self=None,  # [B, Hk*D] current-token K (deferred-write decode)
     v_self=None,
+    k_scales=None,  # [S, Hk] f32 (int8 KV)
+    v_scales=None,
     *,
     block_size: int,
     scale: float,
@@ -193,6 +214,7 @@ def _decode_call(
     pages_per_step: int,
     interpret: bool,
     with_self: bool = False,
+    kv_int8: bool = False,
 ):
     B, Hk, G, D = q.shape
     MB = block_tables.shape[1]
@@ -211,6 +233,11 @@ def _decode_call(
     kv_specs = [
         pl.BlockSpec((block_size, Hk * D), page_index(t)) for t in range(P)
     ]
+    sc_specs = (
+        [pl.BlockSpec((block_size, Hk), page_index(t)) for t in range(P)] * 2
+        if kv_int8
+        else []
+    )
     self_specs = (
         [pl.BlockSpec((1, 1, Hk * D), lambda b, j, bt, cl, sw: (b, 0, 0))] * 2
         if with_self
@@ -224,6 +251,7 @@ def _decode_call(
             *self_specs,
             *kv_specs,
             *kv_specs,
+            *sc_specs,
         ],
         out_specs=pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl, sw: (b, 0, 0, 0)),
         scratch_shapes=[
@@ -242,6 +270,7 @@ def _decode_call(
         num_kv_heads=Hk,
         head_dim=D,
         with_self=with_self,
+        kv_int8=kv_int8,
     )
     out = pl.pallas_call(
         kernel,
@@ -259,6 +288,7 @@ def _decode_call(
         *([k_self, v_self] if with_self else []),
         *([k_cache] * P),
         *([v_cache] * P),
+        *(([k_scales] * P + [v_scales] * P) if kv_int8 else []),
     )
     return out
 
@@ -315,6 +345,8 @@ def paged_attention_decode_pallas(
     interpret: Optional[bool] = None,
     k_self: Optional[jax.Array] = None,  # [B, 1, Hk, D] deferred-write K
     v_self: Optional[jax.Array] = None,
+    k_scales: Optional[jax.Array] = None,  # [S, Hk] (int8 cache)
+    v_scales: Optional[jax.Array] = None,
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -344,11 +376,14 @@ def paged_attention_decode_pallas(
         window,
         k_self.reshape(B, 1, Hk * D) if with_self else None,
         v_self.reshape(B, 1, Hk * D) if with_self else None,
+        k_scales,
+        v_scales,
         block_size=block_size,
         scale=float(scale),
         logit_softcap=float(logit_softcap),
         pages_per_step=P,
         interpret=bool(interpret),
         with_self=with_self,
+        kv_int8=k_scales is not None,
     )
     return out.reshape(B, 1, Hq, D)
