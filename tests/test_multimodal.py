@@ -213,3 +213,77 @@ def _vl_engine_mrope():
     m = QwenVLForCausalLM(cfg, block_size=4)
     params = m.init_params(jax.random.PRNGKey(0))
     return LLMEngine(ec, ModelRunner(m, params, ec)), m
+
+
+class TestDeepstack:
+    def _engine(self):
+        from vllm_rs_tpu.core.engine import LLMEngine
+        from vllm_rs_tpu.core.runner import ModelRunner
+        from vllm_rs_tpu.models.qwen_vl import QwenVLForCausalLM
+
+        cfg = ModelConfig(
+            model_type="qwen3_vl", hidden_size=64, intermediate_size=128,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            vocab_size=128, eos_token_ids=(0,),
+            extra=(("image_token_id", 100), ("vision_patch_size", 8),
+                   ("vision_width", 32), ("vision_layers", 3),
+                   ("vision_heads", 2), ("vision_spatial_merge", 2),
+                   ("deepstack_visual_indexes", (0, 1))),
+        )
+        ec = EngineConfig(
+            model=cfg,
+            cache=CacheConfig(block_size=4, num_blocks=64),
+            scheduler=SchedulerConfig(
+                max_num_seqs=4, chunk_size=64, max_model_len=128,
+                prefill_buckets=(16, 64),
+            ),
+            prefill_buckets=(16, 64),
+            decode_buckets=(4,),
+        )
+        m = QwenVLForCausalLM(cfg, block_size=4)
+        params = m.init_params(jax.random.PRNGKey(0))
+        return LLMEngine(ec, ModelRunner(m, params, ec)), m
+
+    def test_deepstack_generates(self):
+        engine, m = self._engine()
+        assert m.n_deepstack == 2
+        img = preprocess_image(
+            _png_bytes(32, 32), patch_size=8, spatial_merge=2,
+            min_pixels=16 * 16, max_pixels=64 * 64,
+        )
+        prompt = [5, 6] + [100] * img.num_tokens + [7]
+        sid = engine.add_request(
+            prompt, SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True),
+            images=[img],
+        )
+        seq = engine.requests[sid].seq
+        assert seq.mm_deepstack is not None and seq.mm_deepstack.shape[0] == 2
+        while not seq.is_finished:
+            engine.step()
+        assert len(seq.output_token_ids) == 5
+
+    def test_deepstack_changes_output(self):
+        """Zeroing deepstack features must change greedy output (the levels
+        are actually injected)."""
+        import numpy as np
+
+        def run(zero_ds):
+            engine, _ = self._engine()
+            img = preprocess_image(
+                _png_bytes(32, 32), patch_size=8, spatial_merge=2,
+                min_pixels=16 * 16, max_pixels=64 * 64,
+            )
+            prompt = [5, 6] + [100] * img.num_tokens + [7]
+            sid = engine.add_request(
+                prompt,
+                SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True),
+                images=[img],
+            )
+            seq = engine.requests[sid].seq
+            if zero_ds:
+                seq.mm_deepstack = np.zeros_like(seq.mm_deepstack)
+            while not seq.is_finished:
+                engine.step()
+            return seq.output_token_ids
+
+        assert run(False) != run(True)

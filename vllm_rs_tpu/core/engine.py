@@ -182,10 +182,14 @@ class LLMEngine:
             raise ValueError(
                 f"prompt has {len(positions)} image tokens, images need {expected}"
             )
-        embeds = [self.runner.model.encode_image(self.runner.params, im) for im in images]
         import numpy as np  # noqa: F811
 
-        seq.mm_embeds = np.concatenate(embeds, axis=0)
+        outs = [self.runner.model.encode_image(self.runner.params, im) for im in images]
+        if outs and isinstance(outs[0], tuple):  # deepstack levels present
+            seq.mm_embeds = np.concatenate([o[0] for o in outs], axis=0)
+            seq.mm_deepstack = np.concatenate([o[1] for o in outs], axis=1)
+        else:
+            seq.mm_embeds = np.concatenate(outs, axis=0)
         seq.mm_positions = positions
         if model.config.extra_get("mrope_section"):
             seq.mrope_table, seq.mrope_delta = model.build_mrope_table(

@@ -201,7 +201,7 @@ class ModelRunner:
                 slots[i, j] = self._slot_of(seq, start + j)
             context_lens[i] = start + c
             last_idx[i] = c - 1
-        mm_embeds, mm_targets = self._prepare_mm(B, T, seqs, chunks)
+        mm_embeds, mm_targets, mm_deepstack = self._prepare_mm(B, T, seqs, chunks)
         mrope = None
         if any(getattr(s, "mrope_table", None) is not None for s in seqs):
             mrope = np.zeros((B, 3, T), dtype=np.int32)
@@ -221,6 +221,7 @@ class ModelRunner:
             seq_slots=jnp.asarray(seq_slots),
             mm_embeds=mm_embeds,
             mm_targets=mm_targets,
+            mm_deepstack=mm_deepstack,
             mrope_positions=jnp.asarray(mrope) if mrope is not None else None,
         )
         return jnp.asarray(token_ids), meta
@@ -232,26 +233,39 @@ class ModelRunner:
         compute_image_slice, core/runner.rs:845-866): rows of each seq's
         mm_embeds whose prompt positions fall inside this chunk."""
         if not any(getattr(s, "mm_embeds", None) is not None for s in seqs):
-            return None, None
+            return None, None, None
         embeds = []
         targets = []
+        ds_rows = []
+        n_levels = 0
         D = self.econfig.model.hidden_size
         for i, (seq, c) in enumerate(zip(seqs, chunks)):
             if getattr(seq, "mm_embeds", None) is None:
                 continue
+            ds = getattr(seq, "mm_deepstack", None)
+            if ds is not None:
+                n_levels = ds.shape[0]
             start = seq.num_cached_tokens
             for j, pos in enumerate(seq.mm_positions):
                 if start <= pos < start + c:
                     embeds.append(seq.mm_embeds[j])
                     targets.append(i * T + (pos - start))
+                    if ds is not None:
+                        ds_rows.append(ds[:, j])
         if not embeds:
-            return None, None
+            return None, None, None
         K = bucket_of(len(embeds), self._MM_BUCKETS)
         emb = np.zeros((K, D), dtype=np.float32)
         tgt = np.full((K,), B * T, dtype=np.int32)  # pad → dropped
         emb[: len(embeds)] = np.stack(embeds)
         tgt[: len(targets)] = targets
-        return jnp.asarray(emb), jnp.asarray(tgt)
+        ds_arr = None
+        if n_levels and ds_rows:
+            ds_arr = np.zeros((n_levels, K, D), dtype=np.float32)
+            ds_arr[:, : len(ds_rows)] = np.stack(ds_rows, axis=1)
+        return jnp.asarray(emb), jnp.asarray(tgt), (
+            jnp.asarray(ds_arr) if ds_arr is not None else None
+        )
 
     def prepare_decode(self, batch: ScheduledBatch):
         seqs = batch.seqs

@@ -64,6 +64,8 @@ class Sequence:
         # multimodal: vision embeddings [K, D] + their prompt positions
         self.mm_embeds = None
         self.mm_positions: List[int] = []
+        # deepstack features [n_levels, K, D] (qwen3-VL)
+        self.mm_deepstack = None
         # Qwen-VL mrope: [3, prompt_len] position table + decode delta
         self.mrope_table = None
         self.mrope_delta = 0

@@ -32,8 +32,12 @@ class QwenVLForCausalLM(CausalLM):
             "heads": int(config.extra_get("vision_heads", 4)),
             "out_hidden": config.hidden_size,
             "spatial_merge": int(config.extra_get("vision_spatial_merge", 2)),
+            "deepstack_levels": tuple(
+                config.extra_get("deepstack_visual_indexes", ()) or ()
+            ),
         }
         self.vision = VisionTower(**vc)
+        self.n_deepstack = len(vc["deepstack_levels"])
 
     def init_params(self, key, quant=None, quant_group: int = 128, dtype=jnp.bfloat16):
         k1, k2 = jax.random.split(key)
@@ -70,9 +74,62 @@ class QwenVLForCausalLM(CausalLM):
         delta = pos - n  # decode position = physical + delta (all components)
         return table, delta
 
-    def encode_image(self, params: dict, image) -> np.ndarray:
-        """ImageData → [num_tokens, hidden] embeddings (one jit per grid)."""
+    def encode_image(self, params: dict, image):
+        """ImageData → [num_tokens, hidden] embeddings (one jit per grid);
+        with deepstack levels also returns [n_levels, num_tokens, hidden]."""
         out = jax.jit(self.vision.forward, static_argnames=("grid",))(
             params["vision"], jnp.asarray(image.patches), grid=image.grid
         )
+        if self.n_deepstack:
+            emb, ds = out
+            return np.asarray(emb, np.float32), np.asarray(ds, np.float32)
         return np.asarray(out, dtype=np.float32)
+
+    def forward(self, params, token_ids, meta, kv):
+        """Deepstack injection: the first n_levels layers each add their
+        visual feature level at the image positions (layers/deepstack.rs);
+        remaining layers run the standard scan."""
+        if meta.mm_deepstack is None or self.n_deepstack == 0:
+            return super().forward(params, token_ids, meta, kv)
+        from vllm_rs_tpu.models.layers import mlp, rms_norm
+
+        cfg = self.config
+        n = self.n_deepstack
+        h = params["embed"][token_ids].astype(jnp.bfloat16)
+        B, T, D = h.shape
+        if meta.mm_embeds is not None:
+            flat = h.reshape(B * T, D)
+            flat = flat.at[meta.mm_targets].set(
+                meta.mm_embeds.astype(flat.dtype), mode="drop"
+            )
+            h = flat.reshape(B, T, D)
+
+        def one_layer(lp, h, kv_l):
+            attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
+            attn_out, kv_out = self.attention(lp, attn_in, meta, kv_l)
+            h = h + attn_out
+            mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
+            return h + mlp(lp, mlp_in, cfg.hidden_act), kv_out
+
+        take = lambda tree, sl: jax.tree_util.tree_map(lambda x: x[sl], tree)  # noqa: E731
+        kv_prefix = []
+        for i in range(n):
+            lp = take(params["layers"], i)
+            h, kv_l = one_layer(lp, h, kv[i])
+            kv_prefix.append(kv_l)
+            flat = h.reshape(B * T, D)
+            flat = flat.at[meta.mm_targets].add(
+                meta.mm_deepstack[i].astype(flat.dtype), mode="drop"
+            )
+            h = flat.reshape(B, T, D)
+
+        def layer_fn(h, xs):
+            lp, kv_l = xs
+            h, kv_out = one_layer(lp, h, kv_l)
+            return h, kv_out
+
+        h, kv_rest = jax.lax.scan(
+            layer_fn, h, (take(params["layers"], slice(n, None)), kv[n:])
+        )
+        kv = jnp.concatenate([jnp.stack(kv_prefix), kv_rest], axis=0)
+        return kv, h

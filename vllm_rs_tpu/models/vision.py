@@ -41,6 +41,7 @@ class VisionTower:
         mlp_ratio: float = 4.0,
         out_hidden: int = 4096,
         spatial_merge: int = 2,
+        deepstack_levels: tuple = (),
     ):
         self.patch_size = patch_size
         self.width = width
@@ -49,6 +50,9 @@ class VisionTower:
         self.mlp_dim = int(width * mlp_ratio)
         self.out_hidden = out_hidden
         self.merge = spatial_merge
+        # block indices whose states feed deepstack injection
+        # (reference layers/deepstack.rs multi-level visual features)
+        self.deepstack_levels = tuple(deepstack_levels)
 
     def init_params(self, key, dtype=jnp.bfloat16) -> dict:
         W, L, M = self.width, self.layers, self.mlp_dim
@@ -69,7 +73,7 @@ class VisionTower:
             "fc2": w(next(ks), (L, M, W)),
         }
         merged_in = W * self.merge * self.merge
-        return {
+        params = {
             "patch_embed": w(next(ks), (in_dim, W)),
             "blocks": blocks,
             "merger_ln_w": jnp.ones((W,), dtype=dtype),
@@ -77,6 +81,11 @@ class VisionTower:
             "merger_fc1": w(next(ks), (merged_in, merged_in)),
             "merger_fc2": w(next(ks), (merged_in, self.out_hidden)),
         }
+        if self.deepstack_levels:
+            params["ds_merger"] = w(
+                next(ks), (len(self.deepstack_levels), merged_in, self.out_hidden)
+            )
+        return params
 
     def forward(self, params: dict, patches: jax.Array, grid: Tuple[int, int]) -> jax.Array:
         """patches [P, 3*ps*ps] (P = gh*gw) → [P/merge², out_hidden]."""
@@ -111,20 +120,38 @@ class VisionTower:
             h = h + jnp.dot(
                 y, bp["fc2"].astype(jnp.bfloat16), preferred_element_type=jnp.float32
             ).astype(h.dtype)
-            return h, None
+            return h, h
 
-        h, _ = jax.lax.scan(block, h, params["blocks"])
-        h = _layer_norm(h, params["merger_ln_w"], params["merger_ln_b"])
-        # spatial 2x2 merge: [gh, gw, W] → [gh/m, gw/m, m*m*W]
+        h, states = jax.lax.scan(block, h, params["blocks"])
         m = self.merge
-        h = h.reshape(gh // m, m, gw // m, m, W).transpose(0, 2, 1, 3, 4)
-        h = h.reshape(-1, m * m * W)
-        h = jnp.dot(
-            h.astype(jnp.bfloat16), params["merger_fc1"].astype(jnp.bfloat16),
+
+        def spatial_merge(x):
+            x = x.reshape(gh // m, m, gw // m, m, W).transpose(0, 2, 1, 3, 4)
+            return x.reshape(-1, m * m * W)
+
+        h = _layer_norm(h, params["merger_ln_w"], params["merger_ln_b"])
+        hm = spatial_merge(h)
+        y = jnp.dot(
+            hm.astype(jnp.bfloat16), params["merger_fc1"].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
-        h = jax.nn.gelu(h.astype(jnp.float32)).astype(jnp.bfloat16)
-        return jnp.dot(
-            h, params["merger_fc2"].astype(jnp.bfloat16),
+        y = jax.nn.gelu(y.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jnp.dot(
+            y, params["merger_fc2"].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
+        if not self.deepstack_levels:
+            return out
+        # deepstack: intermediate block states → per-level merged features
+        # NOTE: `states` from scan is per-block ys... recompute via indexing
+        ds = []
+        for li, lvl in enumerate(self.deepstack_levels):
+            sm = spatial_merge(states[lvl])
+            ds.append(
+                jnp.dot(
+                    sm.astype(jnp.bfloat16),
+                    params["ds_merger"][li].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+            )
+        return out, jnp.stack(ds)  # [n_levels, K, out_hidden]

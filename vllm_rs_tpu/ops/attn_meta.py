@@ -41,3 +41,6 @@ class AttnMeta(NamedTuple):
     mm_targets: jax.Array = None
     # Qwen-VL mrope positions [B, 3, T] (t/h/w); None = standard 1D rope
     mrope_positions: jax.Array = None
+    # deepstack features [n_levels, K, D] added at mm_targets after the
+    # first n_levels layers (qwen3-VL, reference layers/deepstack.rs)
+    mm_deepstack: jax.Array = None
