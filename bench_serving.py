@@ -51,15 +51,23 @@ def main():
     vocab = engine.econfig.model.vocab_size
     rs = np.random.RandomState(0)
 
-    # warmup
-    sid = engine.add_request(
-        list(rs.randint(1, vocab - 1, size=args.prompt_tokens)),
-        SamplingParams(temperature=0.0, max_tokens=args.multi_step + 1, ignore_eos=True),
-    )
+    # warmup: a full burst at the target concurrency so every (batch
+    # bucket, multi-step k, block-span tier) executable compiles before the
+    # timed phase
     engine.start_loop()
-    q = engine.get_stream(sid)
-    while not q.get(timeout=600).finished:
-        pass
+    warm_ids = [
+        engine.add_request(
+            list(rs.randint(1, vocab - 1, size=args.prompt_tokens)),
+            SamplingParams(
+                temperature=0.0, max_tokens=2 * args.multi_step + 1, ignore_eos=True
+            ),
+        )
+        for _ in range(args.streams)
+    ]
+    for sid in warm_ids:
+        q = engine.get_stream(sid)
+        while not q.get(timeout=1200).finished:
+            pass
 
     results = []
     lock = threading.Lock()

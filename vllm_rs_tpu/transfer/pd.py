@@ -55,32 +55,6 @@ def _recv_msg(sock: socket.socket) -> Tuple[dict, bytes]:
     return header, payload
 
 
-def _pack_kv(host_kv) -> Tuple[dict, bytes]:
-    """Host KV pytree (numpy leaves) → (spec, concatenated bytes)."""
-    import jax
-
-    leaves, treedef = jax.tree_util.tree_flatten(host_kv)
-    spec = {
-        "shapes": [list(x.shape) for x in leaves],
-        "dtypes": [str(x.dtype) for x in leaves],
-        "n_leaves": len(leaves),
-    }
-    payload = b"".join(np.ascontiguousarray(x).tobytes() for x in leaves)
-    return spec, payload
-
-
-def _unpack_kv(spec: dict, payload: bytes):
-    leaves = []
-    off = 0
-    for shape, dt in zip(spec["shapes"], spec["dtypes"]):
-        dt = np.dtype(dt) if dt != "bfloat16" else np.dtype(np.uint16)
-        n = int(np.prod(shape)) * dt.itemsize
-        arr = np.frombuffer(payload[off : off + n], dtype=dt).reshape(shape)
-        off += n
-        leaves.append(arr)
-    return leaves
-
-
 def _kv_to_wire(host_kv):
     """bfloat16 numpy arrays are not serializable via np.dtype — reinterpret
     as uint16 on the wire and restore via jnp view on install."""
