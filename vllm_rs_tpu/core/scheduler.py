@@ -168,7 +168,11 @@ class Scheduler:
             sp = seq.sampling_params
             if seq.guidance is not None or sp.stop:
                 return 1
-            k = min(k, sp.max_tokens - len(seq.output_token_ids))
+            # deliberately NOT clamped by remaining max_tokens: a finishing
+            # sequence would fragment k (and each k value is a separate
+            # compiled program); overshoot tokens are discarded by
+            # postprocess at identical step cost. Only the physical slot
+            # budget (max_model_len) clamps.
             k = min(k, self.config.max_model_len - seq.num_tokens)
         if k <= 1:
             return 1
