@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vllm_rs_tpu.config import (
     CacheConfig,
@@ -201,3 +202,48 @@ class TestHybridMoE:
             SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True),
         )
         assert len(outs[0].output_token_ids) == 5
+
+
+class TestChunkedDeltaRule:
+    def _data(self, T, H=2, dk=8, dv=8, seed=5):
+        rs = np.random.RandomState(seed)
+        S0 = jnp.asarray(rs.randn(H, dk, dv) * 0.3, jnp.float32)
+        q = jnp.asarray(rs.randn(T, H, dk), jnp.float32)
+        k = jnp.asarray(rs.randn(T, H, dk), jnp.float32)
+        v = jnp.asarray(rs.randn(T, H, dv), jnp.float32)
+        g = jnp.asarray(-np.abs(rs.randn(T, H)) * 0.3, jnp.float32)
+        beta = jnp.asarray(1 / (1 + np.exp(-rs.randn(T, H))), jnp.float32)
+        return S0, q, k, v, g, beta
+
+    @pytest.mark.parametrize("T,chunk", [(16, 16), (48, 16), (50, 16), (7, 16)])
+    def test_matches_sequential(self, T, chunk):
+        from vllm_rs_tpu.ops.gdn import (
+            gated_delta_prefill,
+            gated_delta_prefill_chunked,
+        )
+
+        S0, q, k, v, g, beta = self._data(T)
+        S_seq, O_seq = gated_delta_prefill(S0, q, k, v, g, beta)
+        S_chk, O_chk = gated_delta_prefill_chunked(S0, q, k, v, g, beta, chunk=chunk)
+        np.testing.assert_allclose(
+            np.asarray(O_chk), np.asarray(O_seq), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(S_chk), np.asarray(S_seq), rtol=2e-4, atol=2e-4
+        )
+
+    def test_strong_decay_stability(self):
+        """Heavy decay must not underflow/overflow the chunked form."""
+        from vllm_rs_tpu.ops.gdn import (
+            gated_delta_prefill,
+            gated_delta_prefill_chunked,
+        )
+
+        S0, q, k, v, g, beta = self._data(64)
+        g = g * 20.0  # cumulative decay underflows any 1/c formulation
+        S_seq, O_seq = gated_delta_prefill(S0, q, k, v, g, beta)
+        S_chk, O_chk = gated_delta_prefill_chunked(S0, q, k, v, g, beta, chunk=32)
+        assert np.isfinite(np.asarray(O_chk)).all()
+        np.testing.assert_allclose(
+            np.asarray(O_chk), np.asarray(O_seq), rtol=1e-3, atol=1e-3
+        )

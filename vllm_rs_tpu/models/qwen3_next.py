@@ -28,6 +28,7 @@ from vllm_rs_tpu.ops.gdn import (
     causal_conv1d_update,
     fused_gdn_gating,
     gated_delta_prefill,
+    gated_delta_prefill_chunked,
     gated_delta_step,
     gated_rmsnorm_silu,
     l2_norm_last_dim,
@@ -256,9 +257,14 @@ class Qwen3NextForCausalLM(CausalLM):
                 # freeze state on padded tail: g→0 (decay 1), beta→0 (no write)
                 g = jnp.where(valid_r[:, None], g, 0.0)
                 beta = jnp.where(valid_r[:, None], beta, 0.0)
-                S, o = gated_delta_prefill(
-                    rec0, qh * self.gdn_scale, kh, vh, g, beta
-                )
+                if T >= 32:  # chunk-parallel closed form (ops/gdn.py)
+                    S, o = gated_delta_prefill_chunked(
+                        rec0, qh * self.gdn_scale, kh, vh, g, beta, chunk=32
+                    )
+                else:
+                    S, o = gated_delta_prefill(
+                        rec0, qh * self.gdn_scale, kh, vh, g, beta
+                    )
                 return new_conv.astype(conv0.dtype), S, o
 
             conv_rows, rec_rows, o = jax.vmap(one_row)(

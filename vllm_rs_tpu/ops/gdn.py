@@ -134,6 +134,91 @@ def gated_delta_prefill(
     return S, o
 
 
+def _gdn_chunk_single_head(S0, q, k, v, g, beta):
+    """One chunk, one head, closed form (no sequential scan).
+
+    Derivation (all coefficients bounded ≤ 1 — decay ratios γ_{t,i} =
+    exp(G_t − G_i) never invert the cumulative decay, so no underflow):
+        S_t = a_t (I − b_t k_t k_tᵀ) S_{t−1} + b_t k_t v_tᵀ
+    with update rows r'_t ≡ c_t · (write row of S~):
+        (I + L') R' = diag(b) V − diag(b·c) K S₀,
+        L'_{t,i} = b_t (k_t·k_i) γ_{t,i}  (strictly lower),
+        o_t = c_t S₀ᵀ q_t + Σ_{i≤t} γ_{t,i} (q_t·k_i) r'_i,
+        S_C = c_C S₀ + Σ_i γ_{C,i} k_i r'_iᵀ.
+    One triangular solve + a few MXU matmuls per chunk replaces C
+    sequential rank-1 updates.
+    """
+    C = q.shape[0]
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    b = beta.astype(jnp.float32)
+    G = jnp.cumsum(g.astype(jnp.float32))  # [C]
+    c = jnp.exp(G)
+    gamma = jnp.exp(G[:, None] - G[None, :])  # γ_{t,i}
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    strict = row > col
+    incl = row >= col
+
+    A = kf @ kf.T  # [C, C]
+    Lm = jnp.where(strict, b[:, None] * A * gamma, 0.0)
+    rhs = b[:, None] * vf - (b * c)[:, None] * (kf @ S0)
+    R = jax.scipy.linalg.solve_triangular(
+        jnp.eye(C, dtype=jnp.float32) + Lm, rhs, lower=True
+    )  # [C, dv]
+
+    QK = qf @ kf.T
+    O = c[:, None] * (qf @ S0) + jnp.where(incl, QK * gamma, 0.0) @ R
+    gamma_last = jnp.exp(G[-1] - G)  # γ_{C,i}
+    S_C = c[-1] * S0 + (kf * gamma_last[:, None]).T @ R
+    return S_C, O
+
+
+def gated_delta_prefill_chunked(
+    S: jax.Array,  # [H, dk, dv]
+    q: jax.Array,  # [T, H, dk] (scaled)
+    k: jax.Array,
+    v: jax.Array,  # [T, H, dv]
+    g: jax.Array,  # [T, H]
+    beta: jax.Array,
+    chunk: int = 64,
+):
+    """Chunk-parallel recurrence: scan over ⌈T/chunk⌉ chunks, closed form
+    within each (the WY/UT-transform formulation of the delta rule). Exact
+    — tests pin equality with the sequential scan. T pads to a chunk
+    multiple with g=0, beta=0 rows (state-preserving no-ops)."""
+    T, H, dk = q.shape
+    dv = v.shape[-1]
+    Tp = -(-T // chunk) * chunk
+    if Tp != T:
+        pad = ((0, Tp - T), (0, 0), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        g = jnp.pad(g, ((0, Tp - T), (0, 0)))
+        beta = jnp.pad(beta, ((0, Tp - T), (0, 0)))
+    n = Tp // chunk
+
+    def per_chunk(S, xs):
+        qc, kc, vc, gc, bc = xs  # [chunk, H, *]
+        S, O = jax.vmap(_gdn_chunk_single_head, in_axes=(0, 1, 1, 1, 1, 1), out_axes=(0, 1))(
+            S, qc, kc, vc, gc, bc
+        )
+        return S, O
+
+    xs = (
+        q.reshape(n, chunk, H, dk),
+        k.reshape(n, chunk, H, dk),
+        v.reshape(n, chunk, H, dv),
+        g.reshape(n, chunk, H),
+        beta.reshape(n, chunk, H),
+    )
+    S, O = jax.lax.scan(per_chunk, S.astype(jnp.float32), xs)
+    O = O.reshape(Tp, H, dv)
+    return S, O[:T]
+
+
 def gated_rmsnorm_silu(
     x: jax.Array,  # [T, H, dv]
     z: jax.Array,  # [T, H, dv] gate input
