@@ -85,6 +85,31 @@ def test_tp_moe_matches_single_device():
     assert single == sharded
 
 
+def test_tp_gemma4_matches_single_device():
+    """Heterogeneous KV pools under TP: the sliding pool's 2 kv-heads shard
+    across tp=2 while the global pool's single head replicates
+    (kv_head_counts per-pool plan)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    from tests.test_gemma4 import HF, make_engine
+    from vllm_rs_tpu.config import ModelConfig
+    from vllm_rs_tpu.models.gemma4 import Gemma4ForCausalLM
+
+    cfg = ModelConfig.from_hf_dict(HF)
+    model, params, base = make_engine(cfg)
+    ecfg = dataclasses.replace(base.econfig, tp_size=2)
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    prompts = [list(np.random.RandomState(11).randint(1, 255, size=9))]
+    single = base.generate(prompts, sp)[0].output_token_ids
+    mesh = make_mesh(tp_size=2)
+    runner = ModelRunner(
+        Gemma4ForCausalLM(cfg, block_size=4),
+        shard_params(params, mesh), ecfg, mesh=mesh,
+    )
+    sharded = LLMEngine(ecfg, runner).generate(prompts, sp)[0].output_token_ids
+    assert single == sharded
+
+
 def test_tp_mla_matches_single_device():
     if len(jax.devices()) < 2:
         pytest.skip("needs virtual multi-device CPU")

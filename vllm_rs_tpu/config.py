@@ -21,8 +21,38 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _gemma4_extra(cfg: dict) -> list:
+    """Gemma4 heterogeneous-attention knobs (reference gemma4.rs:594-745,
+    utils/mod.rs:1032 gemma4_per_layer_cache_config) → extra pairs."""
+    extra = []
+    for k in (
+        "global_head_dim", "num_global_key_value_heads",
+        "hidden_size_per_layer_input", "num_kv_shared_layers",
+    ):
+        if cfg.get(k):
+            extra.append((k, int(cfg[k])))
+    if cfg.get("rope_local_base_freq"):
+        extra.append(("rope_local_base_freq", float(cfg["rope_local_base_freq"])))
+    for k in ("attention_k_eq_v", "use_double_wide_mlp"):
+        if cfg.get(k):
+            extra.append((k, True))
+    if cfg.get("enable_moe_block") is not None:
+        extra.append(("enable_moe_block", bool(cfg["enable_moe_block"])))
+    lt = cfg.get("layer_types")
+    if isinstance(lt, list):
+        extra.append(
+            (
+                "gemma4_layer_types",
+                tuple("full" if t == "full_attention" else "sliding" for t in lt),
+            )
+        )
+    return extra
+
+
 def _hybrid_extra(cfg: dict, mt: str) -> tuple:
     """Qwen3.5/Qwen3-Next hybrid GDN knobs → hashable extra tuple."""
+    if mt == "gemma4":
+        return tuple(_gemma4_extra(cfg))
     if mt not in ("qwen3_next", "qwen3_5", "qwen3_5_moe") and not any(
         k.startswith("linear_") for k in cfg
     ):
@@ -85,6 +115,9 @@ class ModelConfig:
     attn_scale_coef: float = 0.1
     # gemma-style (weight + 1) norm semantics and embedding scaling
     norm_plus_one: bool = False
+    # gemma2/3/4 sandwich norms: post-attn norm before the residual add plus
+    # pre/post feedforward norms (reference gemma3/ and gemma4.rs:485-536)
+    sandwich_norms: bool = False
     embed_scale: float = 1.0
     # logit softcapping (gemma2/3)
     final_logit_softcap: float = 0.0
@@ -172,6 +205,9 @@ class ModelConfig:
             layer_windows = tuple(
                 sw if t == "sliding_attention" else 0 for t in cfg["layer_types"]
             )
+        elif mt == "gemma4" and sw:
+            # gemma4 default pattern: every 6th layer global (gemma4.rs:623-631)
+            layer_windows = tuple(sw if (i + 1) % 6 != 0 else 0 for i in range(L))
         elif sw and swp > 1:
             layer_windows = tuple(
                 sw if (i + 1) % swp != 0 else 0 for i in range(L)
@@ -190,15 +226,23 @@ class ModelConfig:
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=rope_scaling,
             partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
-            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            tie_word_embeddings=cfg.get(
+                "tie_word_embeddings",
+                mt.startswith("gemma"),  # gemma ties by default (gemma4.rs:935)
+            ),
             attention_bias=cfg.get("attention_bias", cfg.get("qkv_bias", False)),
-            hidden_act=cfg.get("hidden_act", "silu"),
-            qk_norm=mt in ("qwen3", "qwen3_moe") or cfg.get("use_qk_norm", False),
+            hidden_act=cfg.get(
+                "hidden_act", cfg.get("hidden_activation", "silu")  # gemma key
+            ),
+            qk_norm=mt in ("qwen3", "qwen3_moe", "gemma4")
+            or mt.startswith("gemma3")
+            or cfg.get("use_qk_norm", False),
             qk_l2_norm=mt == "minimax" or cfg.get("qk_l2_norm", False),
             attn_temperature_tuning=bool(cfg.get("attn_temperature_tuning", False)),
             attn_floor_scale=float(cfg.get("floor_scale", 8192.0)),
             attn_scale_coef=float(cfg.get("attn_scale", 0.1)),
             norm_plus_one=mt.startswith("gemma"),
+            sandwich_norms=mt.startswith("gemma") and mt != "gemma",
             embed_scale=float(hidden) ** 0.5 if mt.startswith("gemma") else 1.0,
             final_logit_softcap=cfg.get("final_logit_softcapping", 0.0) or 0.0,
             attn_logit_softcap=cfg.get("attn_logit_softcapping", 0.0) or 0.0,

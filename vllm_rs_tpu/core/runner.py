@@ -63,7 +63,10 @@ class ModelRunner:
         if mesh is not None:
             from vllm_rs_tpu.parallel.sharding import shard_kv_cache
 
-            self.kv = shard_kv_cache(self.kv, mesh, econfig.model.num_key_value_heads)
+            self.kv = shard_kv_cache(
+                self.kv, mesh, econfig.model.num_key_value_heads,
+                head_counts=getattr(model, "kv_head_counts", None),
+            )
         self.vocab_size = econfig.model.vocab_size
         self.num_slots = cache.num_slots
         self._base_key = jax.random.PRNGKey(econfig.seed)

@@ -36,6 +36,9 @@ for _mt in ("qwen2_vl", "qwen2_5_vl", "qwen3_vl", "mistral3", "ministral3"):
 # hybrid GDN family (qwen3_5.rs / deltanet.rs)
 for _mt in ("qwen3_next", "qwen3_5", "qwen3_5_moe"):
     register(_mt, "vllm_rs_tpu.models.qwen3_next:Qwen3NextForCausalLM")
+# gemma4: heterogeneous per-layer KV dims (gemma4.rs)
+for _mt in ("gemma4", "gemma4_text"):
+    register(_mt, "vllm_rs_tpu.models.gemma4:Gemma4ForCausalLM")
 # MLA family (deepseek3.rs / glm4_moe_lite.rs)
 for _mt in ("deepseek_v2", "deepseek_v3", "glm4_moe_lite", "kimi_k2"):
     register(_mt, "vllm_rs_tpu.models.deepseek3:DeepseekV3")

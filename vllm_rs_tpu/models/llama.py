@@ -108,10 +108,16 @@ class CausalLM:
             x = (jax.random.normal(k, shape, dtype=jnp.float32) * 0.02).astype(dtype)
             return self._quantize(x, quant if q else None, quant_group)
 
+        # identity init for norms: under gemma's (weight + 1) semantics the
+        # stored identity weight is 0, not 1 — ones would scale every norm
+        # output ×2, compounding per layer into softmax sharpening that makes
+        # tiny-model tests chaotically sensitive to fusion rounding order
+        norm1 = jnp.zeros if cfg.norm_plus_one else jnp.ones
+
         fuse = not cfg.attention_bias  # biased projections stay separate
         layers = {
-            "input_ln": jnp.ones((L, D), dtype=dtype),
-            "post_ln": jnp.ones((L, D), dtype=dtype),
+            "input_ln": norm1((L, D), dtype=dtype),
+            "post_ln": norm1((L, D), dtype=dtype),
             "o": w(next(keys), (L, Hq * Dh, D)),
             "down": w(next(keys), (L, I, D)),
             "inv_freq": jnp.broadcast_to(
@@ -119,6 +125,9 @@ class CausalLM:
             ),
         }
         layers["gate_up"] = w(next(keys), (L, D, 2 * I))
+        if cfg.sandwich_norms:  # gemma2/3 pre/post feedforward norms
+            layers["pre_ffw_ln"] = norm1((L, D), dtype=dtype)
+            layers["post_ffw_ln"] = norm1((L, D), dtype=dtype)
         if fuse:
             layers["qkv"] = w(next(keys), (L, D, (Hq + 2 * Hk) * Dh))
         else:
@@ -129,14 +138,14 @@ class CausalLM:
             for name, n in (("q", Hq * Dh), ("k", Hk * Dh), ("v", Hk * Dh)):
                 layers[name] = Linear(layers[name], jnp.zeros((L, n), dtype=dtype))
         if cfg.qk_norm:
-            layers["q_norm"] = jnp.ones((L, Dh), dtype=dtype)
-            layers["k_norm"] = jnp.ones((L, Dh), dtype=dtype)
+            layers["q_norm"] = norm1((L, Dh), dtype=dtype)
+            layers["k_norm"] = norm1((L, Dh), dtype=dtype)
         if cfg.layer_windows:
             layers["window"] = jnp.asarray(cfg.layer_windows, dtype=jnp.int32)
         params = {
             "embed": (jax.random.normal(next(keys), (V, D), dtype=jnp.float32) * 0.02).astype(dtype),
             "layers": layers,
-            "final_norm": jnp.ones((D,), dtype=dtype),
+            "final_norm": norm1((D,), dtype=dtype),
         }
         if not cfg.tie_word_embeddings:
             # lm_head is read every decode step: int8 with PER-CHANNEL
@@ -220,9 +229,25 @@ class CausalLM:
                     block_size=self.block_size, scale=self.scale,
                     sliding_window=window, attn_backend=self.attn_backend,
                 )
+                # gemma sandwich: post-attn norm applies BEFORE the residual
+                # add; mlp input comes from its own pre-norm (gemma3)
+                if cfg.sandwich_norms:
+                    attn_out = rms_norm(
+                        attn_out, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one
+                    )
                 h = h + attn_out
-                mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
-                h = h + mlp(lp, mlp_in, cfg.hidden_act)
+                mlp_in = rms_norm(
+                    h,
+                    lp["pre_ffw_ln"] if cfg.sandwich_norms else lp["post_ln"],
+                    cfg.rms_norm_eps,
+                    cfg.norm_plus_one,
+                )
+                mlp_out = mlp(lp, mlp_in, cfg.hidden_act)
+                if cfg.sandwich_norms:
+                    mlp_out = rms_norm(
+                        mlp_out, lp["post_ffw_ln"], cfg.rms_norm_eps, cfg.norm_plus_one
+                    )
+                h = h + mlp_out
                 B = h.shape[0]
                 return h, (k_new.reshape(B, -1), v_new.reshape(B, -1))
 
@@ -234,9 +259,23 @@ class CausalLM:
             lp, kv_l = xs
             attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
             attn_out, kv_out = self.attention(lp, attn_in, meta, kv_l)
+            if cfg.sandwich_norms:
+                attn_out = rms_norm(
+                    attn_out, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one
+                )
             h = h + attn_out
-            mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
-            h = h + mlp(lp, mlp_in, cfg.hidden_act)
+            mlp_in = rms_norm(
+                h,
+                lp["pre_ffw_ln"] if cfg.sandwich_norms else lp["post_ln"],
+                cfg.rms_norm_eps,
+                cfg.norm_plus_one,
+            )
+            mlp_out = mlp(lp, mlp_in, cfg.hidden_act)
+            if cfg.sandwich_norms:
+                mlp_out = rms_norm(
+                    mlp_out, lp["post_ffw_ln"], cfg.rms_norm_eps, cfg.norm_plus_one
+                )
+            h = h + mlp_out
             return h, kv_out
 
         h, kv = jax.lax.scan(layer_fn, h, (params["layers"], kv))

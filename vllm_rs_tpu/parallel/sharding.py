@@ -111,20 +111,27 @@ def kv_spec(num_kv_heads: int, mesh: Mesh) -> P:
     return P()
 
 
-def shard_kv_cache(kv, mesh: Mesh, num_kv_heads: int):
+def shard_kv_cache(kv, mesh: Mesh, num_kv_heads: int, head_counts=None):
     """Shard the cache on the kv-head axis where the layout has one.
 
     - GQA [L, 2, S, Hk*D] (and int8 scales [L, 2, S, Hk]): shard dim 3.
     - MLA latent [L, S, R+P]: replicated — the compressed latent is shared
       across heads (heads shard in w_uk/w_uv instead).
     - hybrid GDN conv/rec state: replicated (per-slot recurrent state).
+    - heterogeneous pools (gemma4 {"swa","full"}): `head_counts` maps pool
+      key → kv-head count so each pool sharding respects its own geometry
+      (the reference's per-layer kv_head_shard analog, distributed.rs:498).
     """
     head_spec = kv_spec(num_kv_heads, mesh)
 
-    def place(leaf):
+    def place(path, leaf):
         # the GQA pool signature is [L, 2, S, *]; anything else replicates
         is_gqa = leaf.ndim == 4 and leaf.shape[1] == 2
         spec = head_spec if is_gqa else P()
+        if is_gqa and head_counts:
+            key = _leaf_name(path)
+            if key in head_counts:
+                spec = kv_spec(head_counts[key], mesh)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(place, kv)
+    return jax.tree_util.tree_map_with_path(place, kv)

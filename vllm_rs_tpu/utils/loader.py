@@ -101,6 +101,9 @@ class _Loader:
             w = self._wna16(prefix)
         elif prefix + ".weight_scale_inv" in self.st:
             w = self._fp8(prefix)
+        elif self._is_fp4(prefix):
+            w = self._fp4(prefix)
+            w = _maybe_quant(w, self.quant if quantize else None, self.group)
         else:
             w = self.t(prefix + ".weight").T
             w = _maybe_quant(w, self.quant if quantize else None, self.group)
@@ -120,6 +123,45 @@ class _Loader:
         Bk = K // s.shape[1]
         Bn = N // s.shape[0]
         return Fp8BlockTensor(w.T, s.T, (Bk, Bn))
+
+    def _is_fp4(self, prefix: str) -> bool:
+        """MXFP4/NVFP4 packed checkpoints (reference linear.rs:1087-1189):
+        u8 nibble blocks under weight_packed/blocks/weight + a u8 scale
+        tensor (E8M0 per 32 → mxfp4; E4M3 per 16 → nvfp4)."""
+        if prefix + ".weight_packed" in self.st or prefix + ".blocks" in self.st:
+            return True
+        if prefix + ".weight" in self.st and prefix + ".weight_scale" in self.st:
+            return self.st.get(prefix + ".weight").dtype == jnp.uint8
+        return False
+
+    def _fp4(self, prefix: str) -> jax.Array:
+        """Decode packed FP4 → bf16 [K, N]. E2M1 x power-of-two (or E4M3)
+        scales are exactly representable in bf16, so this is lossless;
+        downstream `_maybe_quant` provides the ISQ path to int4/int8."""
+        from vllm_rs_tpu.quant.fp4 import mxfp4_dequant, nvfp4_dequant
+
+        for bkey in (".weight_packed", ".blocks", ".weight"):
+            if prefix + bkey in self.st:
+                blocks = np.asarray(self.st.get(prefix + bkey))
+                break
+        for skey in (".weight_scale", ".scales"):
+            if prefix + skey in self.st:
+                scales = np.asarray(self.st.get(prefix + skey))
+                break
+        K = blocks.shape[-1] * 2
+        gs = None
+        if prefix + ".weight_scale_2" in self.st:  # modelopt: direct multiplier
+            gs = float(np.asarray(self.st.get(prefix + ".weight_scale_2")).reshape(-1)[0])
+        elif prefix + ".weight_global_scale" in self.st:  # ct: divisor
+            raw = float(
+                np.asarray(self.st.get(prefix + ".weight_global_scale")).reshape(-1)[0]
+            )
+            gs = 1.0 / raw if raw != 0.0 else 1.0
+        if gs is None and scales.shape[-1] * 32 == K:
+            w = mxfp4_dequant(blocks, scales)
+        else:
+            w = nvfp4_dequant(blocks, scales, gs if gs is not None else 1.0)
+        return jnp.asarray(w.T, dtype=self.dtype)
 
     def _wna16(self, prefix: str) -> object:
         from vllm_rs_tpu.quant.wna16 import awq_to_canonical, gptq_to_canonical
@@ -186,6 +228,9 @@ def _attn_common(ld: _Loader, p: str) -> dict:
         "o": ld.lin(f"{p}.self_attn.o_proj"),
         "inv_freq": rope_inv_freq(cfg),
     }
+    if cfg.sandwich_norms:  # gemma2/3 pre/post feedforward norms
+        d["pre_ffw_ln"] = ld.norm(f"{p}.pre_feedforward_layernorm")
+        d["post_ffw_ln"] = ld.norm(f"{p}.post_feedforward_layernorm")
     fused = _fuse_n(d["q"], d["k"], d["v"])
     if fused is not None:
         d["qkv"] = fused
@@ -320,6 +365,118 @@ def _mla_moe_layer(ld: _Loader, i: int) -> dict:
     return d
 
 
+def _gemma4_layer(ld: _Loader, model, p: str, i: int, full: bool) -> dict:
+    """One gemma4 decoder layer (gemma4.rs:178-555): heterogeneous attention
+    geometry, sandwich + MoE norms, layer_scalar, per-layer-input gate."""
+    from vllm_rs_tpu.ops.rope import rope_inv_freq
+    import dataclasses
+
+    cfg = ld.cfg
+    inv_g = rope_inv_freq(
+        dataclasses.replace(cfg, head_dim=model.D_g, partial_rotary_factor=1.0)
+    )[: model.rot_g // 2]
+    inv_s = rope_inv_freq(
+        dataclasses.replace(
+            cfg,
+            head_dim=model.D_s,
+            rope_theta=model.local_theta,
+            rope_scaling=None,
+            partial_rotary_factor=1.0,
+        )
+    )
+    d = {
+        "input_ln": ld.norm(f"{p}.input_layernorm"),
+        "post_ln": ld.norm(f"{p}.post_attention_layernorm"),
+        "pre_ffw_ln": ld.norm(f"{p}.pre_feedforward_layernorm"),
+        "post_ffw_ln": ld.norm(f"{p}.post_feedforward_layernorm"),
+        "q": ld.lin(f"{p}.self_attn.q_proj"),
+        "k": ld.lin(f"{p}.self_attn.k_proj"),
+        "o": ld.lin(f"{p}.self_attn.o_proj"),
+        "down": ld.lin(f"{p}.mlp.down_proj"),
+        "inv_freq": inv_g if full else inv_s,
+    }
+    # global layers with attention_k_eq_v share k/v weights (attention.rs:205-214)
+    if full and model.k_eq_v and f"{p}.self_attn.v_proj.weight" not in ld.st:
+        d["v"] = d["k"]
+    else:
+        d["v"] = ld.lin(f"{p}.self_attn.v_proj")
+    gate = ld.lin(f"{p}.mlp.gate_proj")
+    up = ld.lin(f"{p}.mlp.up_proj")
+    fused = _fuse_n(gate, up)
+    if fused is not None:
+        d["gate_up"] = fused
+    else:
+        d["gate"], d["up"] = gate, up
+    if cfg.qk_norm:
+        d["q_norm"] = ld.norm(f"{p}.self_attn.q_norm")
+        d["k_norm"] = ld.norm(f"{p}.self_attn.k_norm")
+    if f"{p}.layer_scalar" in ld.st:
+        d["layer_scalar"] = ld.st.get(f"{p}.layer_scalar").astype(jnp.float32)
+    else:
+        d["layer_scalar"] = jnp.ones((1,), dtype=jnp.float32)
+    if model.is_moe:
+        d["router_scale"] = ld.st.get(f"{p}.router.scale").astype(jnp.float32)
+        d["router_proj"] = ld.lin(f"{p}.router.proj", quantize=False)
+        d["per_expert_scale"] = ld.st.get(f"{p}.router.per_expert_scale").astype(
+            jnp.float32
+        )
+        if f"{p}.experts.gate_proj.weight" in ld.st:  # stacked layout
+            for ours, hf in (
+                ("w_gate", "gate_proj"), ("w_up", "up_proj"), ("w_down", "down_proj"),
+            ):
+                w = jnp.swapaxes(ld.t(f"{p}.experts.{hf}.weight"), 1, 2)
+                if ld.quant is not None and w.shape[1] % ld.group == 0:
+                    w = jax.vmap(lambda x: quantize_param(x, ld.quant, ld.group))(w)
+                d[ours] = w
+        else:
+            wg, wu, wd = [], [], []
+            for e in range(cfg.num_experts):
+                ep = f"{p}.experts.{e}"
+                wg.append(ld.lin(f"{ep}.gate_proj"))
+                wu.append(ld.lin(f"{ep}.up_proj"))
+                wd.append(ld.lin(f"{ep}.down_proj"))
+            d["w_gate"], d["w_up"], d["w_down"] = _stack(wg), _stack(wu), _stack(wd)
+        d["post_ffw_ln_1"] = ld.norm(f"{p}.post_feedforward_layernorm_1")
+        d["post_ffw_ln_2"] = ld.norm(f"{p}.post_feedforward_layernorm_2")
+        d["pre_ffw_ln_2"] = ld.norm(f"{p}.pre_feedforward_layernorm_2")
+    if model.pli_dim:
+        d["pli_gate"] = ld.lin(f"{p}.per_layer_input_gate", quantize=False)
+        d["pli_proj"] = ld.lin(f"{p}.per_layer_projection", quantize=False)
+        d["post_pli_norm"] = ld.norm(f"{p}.post_per_layer_input_norm")
+    return d
+
+
+def _load_gemma4(ld: _Loader, config: ModelConfig, dtype) -> dict:
+    """Gemma4 checkpoints keep a per-layer list (heterogeneous shapes)."""
+    from vllm_rs_tpu.models.gemma4 import Gemma4ForCausalLM
+
+    model = Gemma4ForCausalLM(config)
+    # multimodal checkpoints nest under language_model (gemma4.rs lm_prefix)
+    pre = "model"
+    if f"{pre}.embed_tokens.weight" not in ld.st:
+        pre = "language_model.model"
+    params: dict = {
+        "embed": ld.t(f"{pre}.embed_tokens.weight"),
+        "final_norm": ld.norm(f"{pre}.norm"),
+        "layers": [
+            _gemma4_layer(ld, model, f"{pre}.layers.{i}", i, t == "full")
+            for i, t in enumerate(model.layer_types)
+        ],
+    }
+    if model.pli_dim and f"{pre}.embed_tokens_per_layer.weight" in ld.st:
+        params["embed_per_layer"] = ld.t(f"{pre}.embed_tokens_per_layer.weight")
+        params["pli_model_proj"] = ld.lin(
+            f"{pre}.per_layer_model_projection", quantize=False
+        )
+        params["pli_proj_norm"] = ld.norm(f"{pre}.per_layer_projection_norm")
+    if not config.tie_word_embeddings and "lm_head.weight" in ld.st:
+        head = ld.st.get("lm_head.weight").astype(dtype).T
+        params["lm_head"] = _maybe_quant(
+            head, "int8" if ld.quant is not None else None, head.shape[0]
+        )
+    return params
+
+
 # ---------------------------------------------------------------------------
 # top level
 # ---------------------------------------------------------------------------
@@ -341,6 +498,8 @@ def load_params(
     st = SafetensorsDir(src) if isinstance(src, str) else src
     ld = _Loader(st, config, quant, quant_group, dtype)
     cfg = config
+    if cfg.model_type.startswith("gemma4"):
+        return _load_gemma4(ld, cfg, dtype)
     L = cfg.num_hidden_layers
     is_mla = cfg.kv_lora_rank > 0
     is_moe = cfg.num_experts > 0
