@@ -49,10 +49,57 @@ def _gemma4_extra(cfg: dict) -> list:
     return extra
 
 
+def _vision_extra(cfg: dict) -> list:
+    """HF `vision_config` (+ image token ids, mrope sections) → extras the
+    VL tower reads (models/qwen_vl.py, models/vision.py). Mirrors the
+    reference's get_image_config (qwen3_vl/config.rs)."""
+    extra = []
+    for top in ("image_token_id", "video_token_id", "vision_start_token_id"):
+        if cfg.get(top) is not None:
+            extra.append((top, int(cfg[top])))
+    if cfg.get("image_token_index") is not None:  # gemma3 naming
+        extra.append(("image_token_id", int(cfg["image_token_index"])))
+    if cfg.get("mm_tokens_per_image"):
+        extra.append(("mm_tokens_per_image", int(cfg["mm_tokens_per_image"])))
+    vc = cfg.get("vision_config")
+    if isinstance(vc, dict):
+        m = {
+            "patch_size": "vision_patch_size",
+            "hidden_size": "vision_width",
+            "depth": "vision_layers",
+            "num_hidden_layers": "vision_layers",  # siglip naming (gemma3)
+            "num_heads": "vision_heads",
+            "num_attention_heads": "vision_heads",
+            "image_size": "vision_image_size",
+            "intermediate_size": "vision_intermediate",
+            "spatial_merge_size": "vision_spatial_merge",
+            "temporal_patch_size": "vision_temporal_patch",
+            "num_position_embeddings": "vision_num_pos",
+            "out_hidden_size": "vision_out_hidden",
+        }
+        for hf, ours in m.items():
+            if vc.get(hf):
+                extra.append((ours, int(vc[hf])))
+        dsi = vc.get("deepstack_visual_indexes")
+        if isinstance(dsi, list):
+            extra.append(("deepstack_visual_indexes", tuple(dsi)))
+    rs = cfg.get("rope_scaling") or {}
+    if isinstance(rs, dict) and isinstance(rs.get("mrope_section"), list):
+        extra.append(("mrope_section", tuple(rs["mrope_section"])))
+    return extra
+
+
 def _hybrid_extra(cfg: dict, mt: str) -> tuple:
     """Qwen3.5/Qwen3-Next hybrid GDN knobs → hashable extra tuple."""
+    vision = (
+        _vision_extra(cfg)
+        if ("vision_config" in cfg or "image_token_id" in cfg or "image_token_index" in cfg)
+        else []
+    )
     if mt == "gemma4":
-        return tuple(_gemma4_extra(cfg))
+        return tuple(_gemma4_extra(cfg) + vision)
+    if vision and mt not in ("qwen3_next", "qwen3_5", "qwen3_5_moe"):
+        return tuple(vision)
     if mt not in ("qwen3_next", "qwen3_5", "qwen3_5_moe") and not any(
         k.startswith("linear_") for k in cfg
     ):
@@ -194,7 +241,15 @@ class ModelConfig:
             eos = [eos]
         rope_scaling = cfg.get("rope_scaling") or None
         if rope_scaling:
-            rope_scaling = tuple(sorted(rope_scaling.items(), key=lambda kv: kv[0]))
+            rope_scaling = tuple(
+                sorted(
+                    (
+                        (k, tuple(v) if isinstance(v, list) else v)
+                        for k, v in rope_scaling.items()
+                    ),
+                    key=lambda kv: kv[0],
+                )
+            )
         # per-layer sliding windows (gemma3-style): HF `layer_types` list, or
         # every sliding_window_pattern-th layer global
         sw = cfg.get("sliding_window", 0) or 0

@@ -26,8 +26,11 @@ def get_model_class(model_type: str):
     return getattr(importlib.import_module(mod_name), cls_name)
 
 
-for _mt in ("llama", "mistral", "yi", "stablelm", "qwen2", "qwen3", "gemma", "gemma2", "gemma3", "gemma3_text", "phi3", "glm4"):
+for _mt in ("llama", "mistral", "yi", "stablelm", "qwen2", "qwen3", "gemma", "gemma2", "gemma3_text", "phi3", "glm4"):
     register(_mt, "vllm_rs_tpu.models.llama:CausalLM")
+# gemma3 multimodal checkpoints carry a vision_config; the VL class
+# degrades to the plain text trunk when it is absent (gemma3/mod.rs)
+register("gemma3", "vllm_rs_tpu.models.gemma3_vl:Gemma3VLForCausalLM")
 for _mt in ("qwen2_moe", "qwen3_moe", "mixtral", "glm4_moe", "minimax"):
     register(_mt, "vllm_rs_tpu.models.qwen3_moe:MoECausalLM")
 # vision-language family (qwen3_vl/, mistral3_vl/)

@@ -30,11 +30,15 @@ class QwenVLForCausalLM(CausalLM):
             "width": int(config.extra_get("vision_width", 128)),
             "layers": int(config.extra_get("vision_layers", 2)),
             "heads": int(config.extra_get("vision_heads", 4)),
-            "out_hidden": config.hidden_size,
+            "mlp_dim": int(config.extra_get("vision_intermediate", 0)),
+            "out_hidden": int(
+                config.extra_get("vision_out_hidden", config.hidden_size)
+            ),
             "spatial_merge": int(config.extra_get("vision_spatial_merge", 2)),
             "deepstack_levels": tuple(
                 config.extra_get("deepstack_visual_indexes", ()) or ()
             ),
+            "num_position_embeddings": int(config.extra_get("vision_num_pos", 0)),
         }
         self.vision = VisionTower(**vc)
         self.n_deepstack = len(vc["deepstack_levels"])

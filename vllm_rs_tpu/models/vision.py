@@ -1,9 +1,21 @@
 """Vision tower (ViT) for VL models.
 
-Counterpart of the reference's qwen3_vl/vision.rs + gemma3 vision
-(SURVEY.md §2.3): patch embedding, pre-norm transformer blocks with full
-attention over the patch sequence, and a spatial-merge MLP projecting
-2×2 patch groups into LLM hidden states.
+Counterpart of the reference's qwen3_vl/vision.rs (SURVEY.md §2.3):
+patch embedding (conv3d folded to a per-patch linear — for static images
+the temporal axis is a repeat, so summing conv weights over it is exact),
+learned position embeddings bilinearly interpolated to the image grid
+(vision.rs:565-674 fast_pos_embed_interpolate), 2D rotary embeddings over
+patch (row, col) coordinates (vision.rs:676-724 rot_pos_emb), pre-norm
+transformer blocks with biased qkv/proj/fc projections
+(vision.rs:182-340), and PatchMergers (norm → 2x2 shuffle → fc1 → gelu →
+fc2, vision.rs:342-419) for both the main output and the deepstack
+feature levels.
+
+Patch order: the reference feeds patches merge-block-major; we keep the
+preprocessor's row-major order instead. The two are equivalent — attention
+is permutation-invariant and both rope and the interpolated pos-embed are
+computed from each patch's (row, col) coordinates, while the merger's
+shuffle regroups the same 2x2 blocks from either order.
 
 Pure functional jax like the text models; one forward per image at request
 admission (vision towers are small relative to the LLM, and eager encoding
@@ -16,8 +28,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-
-from vllm_rs_tpu.models.layers import rms_norm
+import numpy as np
 
 
 def _layer_norm(x, w, b, eps=1e-6):
@@ -28,31 +39,89 @@ def _layer_norm(x, w, b, eps=1e-6):
     return (xn * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
 
 
-class VisionTower:
-    """Minimal ViT: patch linear → N pre-norm blocks → 2x2 merge MLP."""
+def _linb(x, w, b):
+    y = jnp.dot(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y
+
+
+def bilinear_pos_embed(table: jax.Array, side: int, gh: int, gw: int) -> jax.Array:
+    """Interpolate a [side*side, W] learned grid to [gh*gw, W] (row-major),
+    mirroring vision.rs fast_pos_embed_interpolate's linspace sampling."""
+    def pts(steps):
+        if steps == 1:
+            return np.zeros((1,), np.float32)
+        return np.linspace(0.0, side - 1.0, steps, dtype=np.float32)
+
+    hv, wv = pts(gh), pts(gw)
+    hf = np.floor(hv).astype(np.int32)
+    wf = np.floor(wv).astype(np.int32)
+    hc = np.minimum(np.ceil(hv).astype(np.int32), side - 1)
+    wc = np.minimum(np.ceil(wv).astype(np.int32), side - 1)
+    dh, dw = hv - hf, wv - wf
+    idx = []
+    wts = []
+    for hsel, hw in ((hf, 1.0 - dh), (hc, dh)):
+        for wsel, wwt in ((wf, 1.0 - dw), (wc, dw)):
+            idx.append((hsel[:, None] * side + wsel[None, :]).reshape(-1))
+            wts.append((hw[:, None] * wwt[None, :]).reshape(-1))
+    out = sum(
+        table[jnp.asarray(i)] * jnp.asarray(w, dtype=jnp.float32)[:, None]
+        for i, w in zip(idx, wts)
+    )
+    return out
+
+
+def rot2d_cos_sin(gh: int, gw: int, head_dim: int, theta: float = 10000.0):
+    """Per-patch 2D rope tables [P, head_dim] (row-major patch order):
+    freqs = [row_freqs | col_freqs] each head_dim/4 wide, duplicated
+    (vision.rs rot_pos_emb + forward's cat[rope, rope])."""
+    dim = head_dim // 2  # rotary dim per axis pair
+    inv = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+    rows = np.repeat(np.arange(gh, dtype=np.float32), gw)
+    cols = np.tile(np.arange(gw, dtype=np.float32), gh)
+    rf = rows[:, None] * inv[None, :]  # [P, head_dim/4]
+    cf = cols[:, None] * inv[None, :]
+    freqs = np.concatenate([rf, cf], axis=-1)  # [P, head_dim/2]
+    emb = np.concatenate([freqs, freqs], axis=-1)  # [P, head_dim]
+    return jnp.asarray(np.cos(emb)), jnp.asarray(np.sin(emb))
+
+
+def _rotate_half(x):
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+class SiglipTower:
+    """SigLIP-style encoder (gemma3 vision, reference gemma3/mod.rs:30-125):
+    conv2d patch embed (+bias, as a per-patch linear), absolute learned
+    position embeddings over the fixed (image_size/ps)² grid, pre-norm
+    blocks with separate biased q/k/v/out projections (no rope), gelu-tanh
+    fc1/fc2 MLP, final post_layernorm."""
 
     def __init__(
         self,
         *,
         patch_size: int = 14,
+        image_size: int = 896,
         width: int = 1152,
-        layers: int = 24,
+        layers: int = 27,
         heads: int = 16,
-        mlp_ratio: float = 4.0,
-        out_hidden: int = 4096,
-        spatial_merge: int = 2,
-        deepstack_levels: tuple = (),
+        mlp_dim: int = 4304,
+        eps: float = 1e-6,
     ):
         self.patch_size = patch_size
+        self.image_size = image_size
+        self.grid = image_size // patch_size
         self.width = width
         self.layers = layers
         self.heads = heads
-        self.mlp_dim = int(width * mlp_ratio)
-        self.out_hidden = out_hidden
-        self.merge = spatial_merge
-        # block indices whose states feed deepstack injection
-        # (reference layers/deepstack.rs multi-level visual features)
-        self.deepstack_levels = tuple(deepstack_levels)
+        self.mlp_dim = mlp_dim
+        self.eps = eps
 
     def init_params(self, key, dtype=jnp.bfloat16) -> dict:
         W, L, M = self.width, self.layers, self.mlp_dim
@@ -67,59 +136,176 @@ class VisionTower:
             "ln1_b": jnp.zeros((L, W), dtype=dtype),
             "ln2_w": jnp.ones((L, W), dtype=dtype),
             "ln2_b": jnp.zeros((L, W), dtype=dtype),
-            "qkv": w(next(ks), (L, W, 3 * W)),
-            "proj": w(next(ks), (L, W, W)),
+            "q": w(next(ks), (L, W, W)),
+            "q_b": jnp.zeros((L, W), dtype=dtype),
+            "k": w(next(ks), (L, W, W)),
+            "k_b": jnp.zeros((L, W), dtype=dtype),
+            "v": w(next(ks), (L, W, W)),
+            "v_b": jnp.zeros((L, W), dtype=dtype),
+            "out": w(next(ks), (L, W, W)),
+            "out_b": jnp.zeros((L, W), dtype=dtype),
             "fc1": w(next(ks), (L, W, M)),
+            "fc1_b": jnp.zeros((L, M), dtype=dtype),
             "fc2": w(next(ks), (L, M, W)),
+            "fc2_b": jnp.zeros((L, W), dtype=dtype),
+        }
+        return {
+            "patch_embed": w(next(ks), (in_dim, W)),
+            "patch_embed_b": jnp.zeros((W,), dtype=dtype),
+            "pos_embed": w(next(ks), (self.grid * self.grid, W)),
+            "blocks": blocks,
+            "post_ln_w": jnp.ones((W,), dtype=dtype),
+            "post_ln_b": jnp.zeros((W,), dtype=dtype),
+        }
+
+    def forward(self, params: dict, patches: jax.Array) -> jax.Array:
+        """patches [P, 3*ps*ps] (row-major, P = grid²) → [P, W]."""
+        H, W = self.heads, self.width
+        Dh = W // H
+        h = _linb(patches, params["patch_embed"], params["patch_embed_b"])
+        h = (h + params["pos_embed"].astype(jnp.float32)).astype(jnp.bfloat16)
+        P = h.shape[0]
+
+        def block(h, bp):
+            x = _layer_norm(h, bp["ln1_w"], bp["ln1_b"], self.eps)
+            q = _linb(x, bp["q"], bp["q_b"]).reshape(P, H, Dh)
+            k = _linb(x, bp["k"], bp["k_b"]).reshape(P, H, Dh)
+            v = _linb(x, bp["v"], bp["v_b"]).reshape(P, H, Dh)
+            scores = jnp.einsum("phd,qhd->hpq", q, k) * (Dh ** -0.5)
+            probs = jax.nn.softmax(scores, axis=-1)
+            o = jnp.einsum("hpq,qhd->phd", probs, v).reshape(P, W)
+            h = h + _linb(o, bp["out"], bp["out_b"]).astype(h.dtype)
+            x = _layer_norm(h, bp["ln2_w"], bp["ln2_b"], self.eps)
+            y = _linb(x, bp["fc1"], bp["fc1_b"])
+            y = jax.nn.gelu(y.astype(jnp.float32), approximate=True).astype(
+                jnp.bfloat16
+            )
+            h = h + _linb(y, bp["fc2"], bp["fc2_b"]).astype(h.dtype)
+            return h, None
+
+        h, _ = jax.lax.scan(block, h, params["blocks"])
+        return _layer_norm(h, params["post_ln_w"], params["post_ln_b"], self.eps)
+
+
+class VisionTower:
+    """ViT: patch linear(+bias) + pos-embed → N pre-norm blocks with 2D
+    rope → PatchMerger; optional deepstack-level mergers."""
+
+    def __init__(
+        self,
+        *,
+        patch_size: int = 14,
+        width: int = 1152,
+        layers: int = 24,
+        heads: int = 16,
+        mlp_ratio: float = 4.0,
+        mlp_dim: int = 0,
+        out_hidden: int = 4096,
+        spatial_merge: int = 2,
+        deepstack_levels: tuple = (),
+        num_position_embeddings: int = 0,
+    ):
+        self.patch_size = patch_size
+        self.width = width
+        self.layers = layers
+        self.heads = heads
+        self.mlp_dim = mlp_dim or int(width * mlp_ratio)
+        self.out_hidden = out_hidden
+        self.merge = spatial_merge
+        # block indices whose states feed deepstack injection
+        # (reference layers/deepstack.rs multi-level visual features)
+        self.deepstack_levels = tuple(deepstack_levels)
+        self.num_pos = num_position_embeddings
+        self.pos_side = int(round(num_position_embeddings ** 0.5)) if num_position_embeddings else 0
+
+    def init_params(self, key, dtype=jnp.bfloat16) -> dict:
+        W, L, M = self.width, self.layers, self.mlp_dim
+        in_dim = 3 * self.patch_size * self.patch_size
+        ks = iter(jax.random.split(key, 12))
+
+        def w(k, shape, scale=0.02):
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+        blocks = {
+            "ln1_w": jnp.ones((L, W), dtype=dtype),
+            "ln1_b": jnp.zeros((L, W), dtype=dtype),
+            "ln2_w": jnp.ones((L, W), dtype=dtype),
+            "ln2_b": jnp.zeros((L, W), dtype=dtype),
+            "qkv": w(next(ks), (L, W, 3 * W)),
+            "qkv_b": jnp.zeros((L, 3 * W), dtype=dtype),
+            "proj": w(next(ks), (L, W, W)),
+            "proj_b": jnp.zeros((L, W), dtype=dtype),
+            "fc1": w(next(ks), (L, W, M)),
+            "fc1_b": jnp.zeros((L, M), dtype=dtype),
+            "fc2": w(next(ks), (L, M, W)),
+            "fc2_b": jnp.zeros((L, W), dtype=dtype),
         }
         merged_in = W * self.merge * self.merge
         params = {
             "patch_embed": w(next(ks), (in_dim, W)),
+            "patch_embed_b": jnp.zeros((W,), dtype=dtype),
             "blocks": blocks,
             "merger_ln_w": jnp.ones((W,), dtype=dtype),
             "merger_ln_b": jnp.zeros((W,), dtype=dtype),
             "merger_fc1": w(next(ks), (merged_in, merged_in)),
+            "merger_fc1_b": jnp.zeros((merged_in,), dtype=dtype),
             "merger_fc2": w(next(ks), (merged_in, self.out_hidden)),
+            "merger_fc2_b": jnp.zeros((self.out_hidden,), dtype=dtype),
         }
+        if self.num_pos:
+            params["pos_embed"] = w(next(ks), (self.num_pos, W))
         if self.deepstack_levels:
-            params["ds_merger"] = w(
-                next(ks), (len(self.deepstack_levels), merged_in, self.out_hidden)
-            )
+            n = len(self.deepstack_levels)
+            # full PatchMergers with post-shuffle norm (vision.rs:342-419)
+            params["ds_ln_w"] = jnp.ones((n, merged_in), dtype=dtype)
+            params["ds_ln_b"] = jnp.zeros((n, merged_in), dtype=dtype)
+            params["ds_fc1"] = w(next(ks), (n, merged_in, merged_in))
+            params["ds_fc1_b"] = jnp.zeros((n, merged_in), dtype=dtype)
+            params["ds_fc2"] = w(next(ks), (n, merged_in, self.out_hidden))
+            params["ds_fc2_b"] = jnp.zeros((n, self.out_hidden), dtype=dtype)
         return params
 
     def forward(self, params: dict, patches: jax.Array, grid: Tuple[int, int]) -> jax.Array:
-        """patches [P, 3*ps*ps] (P = gh*gw) → [P/merge², out_hidden]."""
+        """patches [P, 3*ps*ps] (P = gh*gw, row-major) → [P/merge², out]."""
         gh, gw = grid
         H = self.heads
         W = self.width
         Dh = W // H
-        h = jnp.dot(
-            patches.astype(jnp.bfloat16),
-            params["patch_embed"].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
+        h = _linb(patches, params["patch_embed"], params.get("patch_embed_b")).astype(
+            jnp.bfloat16
+        )
         P = h.shape[0]
+        if "pos_embed" in params:
+            pe = bilinear_pos_embed(
+                params["pos_embed"].astype(jnp.float32), self.pos_side, gh, gw
+            )
+            h = (h.astype(jnp.float32) + pe).astype(jnp.bfloat16)
+        cos, sin = rot2d_cos_sin(gh, gw, Dh)
 
         def block(h, bp):
             x = _layer_norm(h, bp["ln1_w"], bp["ln1_b"])
-            qkv = jnp.dot(x, bp["qkv"].astype(x.dtype), preferred_element_type=jnp.float32)
+            qkv = _linb(x, bp["qkv"], bp["qkv_b"])
             q, k, v = jnp.split(qkv.astype(jnp.float32), 3, axis=-1)
-            q = q.reshape(P, H, Dh).transpose(1, 0, 2)
-            k = k.reshape(P, H, Dh).transpose(1, 0, 2)
-            v = v.reshape(P, H, Dh).transpose(1, 0, 2)
+            q = q.reshape(P, H, Dh)
+            k = k.reshape(P, H, Dh)
+            v = v.reshape(P, H, Dh)
+            q = q * cos[:, None, :] + _rotate_half(q) * sin[:, None, :]
+            k = k * cos[:, None, :] + _rotate_half(k) * sin[:, None, :]
+            q, k, v = (t.transpose(1, 0, 2) for t in (q, k, v))
             scores = jnp.einsum("hpd,hqd->hpq", q, k) * (Dh ** -0.5)
             probs = jax.nn.softmax(scores, axis=-1)
             o = jnp.einsum("hpq,hqd->hpd", probs, v).transpose(1, 0, 2).reshape(P, W)
-            h = h + jnp.dot(
-                o.astype(jnp.bfloat16), bp["proj"].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ).astype(h.dtype)
+            h = h + _linb(o, bp["proj"], bp["proj_b"]).astype(h.dtype)
             x = _layer_norm(h, bp["ln2_w"], bp["ln2_b"])
-            y = jnp.dot(x, bp["fc1"].astype(x.dtype), preferred_element_type=jnp.float32)
-            y = jax.nn.gelu(y.astype(jnp.float32)).astype(jnp.bfloat16)
-            h = h + jnp.dot(
-                y, bp["fc2"].astype(jnp.bfloat16), preferred_element_type=jnp.float32
-            ).astype(h.dtype)
+            y = _linb(x, bp["fc1"], bp["fc1_b"])
+            if "gate" in bp:  # qwen2.5-VL gated vision MLP (silu)
+                g = _linb(x, bp["gate"], bp.get("gate_b"))
+                y = (jax.nn.silu(g.astype(jnp.float32)) * y).astype(jnp.bfloat16)
+            else:
+                y = jax.nn.gelu(y.astype(jnp.float32), approximate=True).astype(
+                    jnp.bfloat16
+                )
+            h = h + _linb(y, bp["fc2"], bp["fc2_b"]).astype(h.dtype)
             return h, h
 
         h, states = jax.lax.scan(block, h, params["blocks"])
@@ -129,29 +315,26 @@ class VisionTower:
             x = x.reshape(gh // m, m, gw // m, m, W).transpose(0, 2, 1, 3, 4)
             return x.reshape(-1, m * m * W)
 
-        h = _layer_norm(h, params["merger_ln_w"], params["merger_ln_b"])
-        hm = spatial_merge(h)
-        y = jnp.dot(
-            hm.astype(jnp.bfloat16), params["merger_fc1"].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+        # main merger: pre-shuffle norm at hidden width (vision.rs:403-418)
+        hn = _layer_norm(h, params["merger_ln_w"], params["merger_ln_b"])
+        hm = spatial_merge(hn)
+        y = _linb(hm, params["merger_fc1"], params.get("merger_fc1_b"))
         y = jax.nn.gelu(y.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = jnp.dot(
-            y, params["merger_fc2"].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
+        out = _linb(y, params["merger_fc2"], params.get("merger_fc2_b")).astype(
+            jnp.bfloat16
+        )
         if not self.deepstack_levels:
             return out
-        # deepstack: intermediate block states → per-level merged features
-        # NOTE: `states` from scan is per-block ys... recompute via indexing
+        # deepstack mergers use post-shuffle norm at merged width
         ds = []
         for li, lvl in enumerate(self.deepstack_levels):
             sm = spatial_merge(states[lvl])
+            sn = _layer_norm(sm, params["ds_ln_w"][li], params["ds_ln_b"][li])
+            y = _linb(sn, params["ds_fc1"][li], params["ds_fc1_b"][li])
+            y = jax.nn.gelu(y.astype(jnp.float32)).astype(jnp.bfloat16)
             ds.append(
-                jnp.dot(
-                    sm.astype(jnp.bfloat16),
-                    params["ds_merger"][li].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.bfloat16)
+                _linb(y, params["ds_fc2"][li], params["ds_fc2_b"][li]).astype(
+                    jnp.bfloat16
+                )
             )
         return out, jnp.stack(ds)  # [n_levels, K, out_hidden]

@@ -30,10 +30,15 @@ class ServerState:
         tool_config: Optional[ToolConfig] = None,
         default_max_tokens: int = 1024,
         mcp=None,
+        image_markers=None,
     ):
         self.engine = engine
         self.model_name = model_name
         mt = engine.econfig.model.model_type
+        from vllm_rs_tpu.server.images import markers_for
+
+        # (start, per-token pad, end) text inserted where an image appears
+        self.image_markers = image_markers or markers_for(mt)
         self.chat_template = chat_template or ChatTemplate(model_type=mt)
         self.tool_config = tool_config or ToolConfig.for_model_type(mt)
         self.default_max_tokens = default_max_tokens

@@ -32,9 +32,12 @@ async def _next_item(queue):
     return await loop.run_in_executor(None, queue.get)
 
 
-def _messages_from_claude(body: Dict[str, Any]) -> List[dict]:
+def _messages_from_claude(body: Dict[str, Any], st=None):
     """Anthropic messages (+ system) → OpenAI-style messages for the chat
-    template (claude_server.rs message mapping)."""
+    template (claude_server.rs message mapping). With a server state,
+    `image` source blocks decode through the model's preprocessing and
+    become placeholder-token runs; returns (messages, images)."""
+    images: List = []
     out: List[dict] = []
     system = body.get("system")
     if system:
@@ -62,9 +65,22 @@ def _messages_from_claude(body: Dict[str, Any]) -> List[dict]:
                     parts.append(
                         json.dumps({"name": b.get("name"), "arguments": b.get("input", {})})
                     )
+                elif t == "image" and st is not None:
+                    from vllm_rs_tpu.server.images import attach_image
+
+                    src = b.get("source") or {}
+                    if src.get("type") != "base64":
+                        raise ValueError(
+                            "image source must be base64 (no network egress)"
+                        )
+                    import base64 as _b64
+
+                    text, img = attach_image(st, _b64.b64decode(src.get("data", "")))
+                    parts.append(text)
+                    images.append(img)
             content = "".join(parts)
         out.append({"role": m.get("role", "user"), "content": content})
-    return out
+    return out, images
 
 
 def _sampling_from_claude(body: Dict[str, Any], default_max: int) -> SamplingParams:
@@ -102,15 +118,15 @@ async def messages(request: web.Request) -> web.StreamResponse:
     body = await request.json()
     rid = make_id("msg")
     sp = _sampling_from_claude(body, st.default_max_tokens)
-    msgs = _messages_from_claude(body)
-    prompt = st.chat_template.render(
-        msgs,
-        add_generation_prompt=True,
-        tools=_claude_tools_to_openai(body.get("tools")),
-        enable_thinking=(body.get("thinking") or {}).get("type") == "enabled",
-    )
     try:
-        seq_id = st.engine.add_request(prompt, sp)
+        msgs, images = _messages_from_claude(body, st)
+        prompt = st.chat_template.render(
+            msgs,
+            add_generation_prompt=True,
+            tools=_claude_tools_to_openai(body.get("tools")),
+            enable_thinking=(body.get("thinking") or {}).get("type") == "enabled",
+        )
+        seq_id = st.engine.add_request(prompt, sp, images=images or None)
     except ValueError as e:
         return web.json_response(
             {"type": "error", "error": {"type": "invalid_request_error", "message": str(e)}},
@@ -301,6 +317,6 @@ async def messages(request: web.Request) -> web.StreamResponse:
 async def count_tokens(request: web.Request) -> web.Response:
     st = _state(request)
     body = await request.json()
-    msgs = _messages_from_claude(body)
+    msgs, _ = _messages_from_claude(body, st)
     prompt = st.chat_template.render(msgs, add_generation_prompt=True)
     return web.json_response({"input_tokens": len(st.tokenize(prompt))})

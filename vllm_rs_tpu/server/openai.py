@@ -87,24 +87,45 @@ async def _run_mcp_round(st, body, parser) -> bool:
     return executed
 
 
-def _render_prompt(st, body: Dict[str, Any]) -> str:
+def _render_prompt(st, body: Dict[str, Any]):
+    """Render messages to a prompt string; image_url content parts are
+    preprocessed and replaced by placeholder-token runs (reference
+    build_messages_and_images, server/mod.rs:1128-1351). Returns
+    (prompt, images)."""
+    from vllm_rs_tpu.server.images import attach_image, decode_image_source
+
     messages = body.get("messages", [])
     norm = []
+    images = []
     for m in messages:
         content = m.get("content", "")
-        if isinstance(content, list):  # multimodal blocks → text only for now
-            content = "".join(
-                c.get("text", "") for c in content if c.get("type") == "text"
-            )
+        if isinstance(content, list):  # multimodal blocks
+            parts = []
+            for c in content:
+                t = c.get("type")
+                if t == "text":
+                    parts.append(c.get("text", ""))
+                elif t == "image_url":
+                    url = (c.get("image_url") or {}).get("url", "")
+                    data = decode_image_source(url)
+                    if data is None:
+                        raise ValueError(
+                            "image_url must be a data: URL (no network egress)"
+                        )
+                    text, img = attach_image(st, data)
+                    parts.append(text)
+                    images.append(img)
+            content = "".join(parts)
         mm = dict(m)
         mm["content"] = content
         norm.append(mm)
-    return st.chat_template.render(
+    prompt = st.chat_template.render(
         norm,
         add_generation_prompt=True,
         tools=_merged_tools(st, body),
         enable_thinking=body.get("thinking", body.get("enable_thinking", True)),
     )
+    return prompt, images
 
 
 def _tool_call_json(tc: ToolCall, index: int = 0) -> dict:
@@ -122,9 +143,9 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     body = await request.json()
     rid = make_id("chatcmpl")
     sp = sampling_from_openai(body, default_max=st.default_max_tokens)
-    prompt = _render_prompt(st, body)
     try:
-        seq_id = st.engine.add_request(prompt, sp)
+        prompt, images = _render_prompt(st, body)
+        seq_id = st.engine.add_request(prompt, sp, images=images or None)
     except ValueError as e:
         return web.json_response({"error": {"message": str(e)}}, status=400)
     queue = st.engine.get_stream(seq_id)
@@ -206,8 +227,8 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
         if not await _run_mcp_round(st, body, parser):
             break
         # tools executed: re-render with tool results and generate again
-        prompt = _render_prompt(st, body)
-        seq_id = st.engine.add_request(prompt, sp)
+        prompt, images = _render_prompt(st, body)
+        seq_id = st.engine.add_request(prompt, sp, images=images or None)
         queue = st.engine.get_stream(seq_id)
         seq = st.engine.requests[seq_id].seq
         parser = StreamParser(st.tool_config)

@@ -95,3 +95,52 @@ def preprocess_image(
 
 def tokens_per_image(img: ImageData) -> int:
     return img.num_tokens
+
+
+def preprocess_image_fixed(
+    data: bytes,
+    *,
+    image_size: int = 896,
+    patch_size: int = 14,
+    num_tokens: int = 256,
+    mean: float = 0.5,
+    std: float = 0.5,
+) -> ImageData:
+    """Gemma3-style fixed-resolution preprocessing (SigLIP): resize to a
+    square image_size, normalize with 0.5/0.5, row-major patchify. The
+    projector pools the g×g patch grid down to `num_tokens` soft tokens
+    (reference gemma3/mod.rs Gemma3MultiModalProjector)."""
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    img = img.resize((image_size, image_size))
+    arr = (np.asarray(img, dtype=np.float32) / 255.0 - mean) / std
+    g = image_size // patch_size
+    patches = (
+        arr.reshape(g, patch_size, g, patch_size, 3)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(g * g, 3 * patch_size * patch_size)
+    )
+    seed = int.from_bytes(
+        __import__("hashlib").sha256(data).digest()[:8], "little"
+    )
+    return ImageData(patches=patches, grid=(g, g), num_tokens=num_tokens, seed=seed)
+
+
+def preprocess_for_model(config, data: bytes) -> ImageData:
+    """Family dispatch (reference utils/image.rs per-model preprocessing):
+    gemma3/4 → fixed square resize + pooled soft tokens; qwen-VL family →
+    dynamic smart-resize patchify."""
+    mt = config.model_type
+    if mt.startswith("gemma"):
+        return preprocess_image_fixed(
+            data,
+            image_size=int(config.extra_get("vision_image_size", 896)),
+            patch_size=int(config.extra_get("vision_patch_size", 14)),
+            num_tokens=int(config.extra_get("mm_tokens_per_image", 256)),
+        )
+    return preprocess_image(
+        data,
+        patch_size=int(config.extra_get("vision_patch_size", 14)),
+        spatial_merge=int(config.extra_get("vision_spatial_merge", 2)),
+    )

@@ -86,6 +86,12 @@ class _Loader:
         self.quant = quant
         self.group = quant_group
         self.dtype = dtype
+        # text-trunk prefix: VL checkpoints nest the LM under language_model
+        self.pre = "model"
+        for cand in ("model", "model.language_model", "language_model.model"):
+            if f"{cand}.embed_tokens.weight" in st:
+                self.pre = cand
+                break
 
     def t(self, key: str) -> jax.Array:
         """Raw tensor in compute dtype."""
@@ -245,7 +251,7 @@ def _attn_common(ld: _Loader, p: str) -> dict:
 
 
 def _dense_layer(ld: _Loader, i: int) -> dict:
-    p = f"model.layers.{i}"
+    p = f"{ld.pre}.layers.{i}"
     d = _attn_common(ld, p)
     gate = ld.lin(f"{p}.mlp.gate_proj")
     up = ld.lin(f"{p}.mlp.up_proj")
@@ -302,7 +308,7 @@ def _moe_router_shared(ld: _Loader, p: str, d: dict) -> dict:
 
 
 def _moe_layer(ld: _Loader, i: int) -> dict:
-    p = f"model.layers.{i}"
+    p = f"{ld.pre}.layers.{i}"
     d = _attn_common(ld, p)
     if f"{p}.mlp.experts.gate_proj.weight" in ld.st:  # GGUF stacked layout
         d.update(_moe_experts_stacked(ld, p))
@@ -346,7 +352,7 @@ def _mla_attn(ld: _Loader, p: str) -> dict:
 
 
 def _mla_dense_layer(ld: _Loader, i: int) -> dict:
-    p = f"model.layers.{i}"
+    p = f"{ld.pre}.layers.{i}"
     d = _mla_attn(ld, p)
     d.update(
         {
@@ -359,7 +365,7 @@ def _mla_dense_layer(ld: _Loader, i: int) -> dict:
 
 
 def _mla_moe_layer(ld: _Loader, i: int) -> dict:
-    p = f"model.layers.{i}"
+    p = f"{ld.pre}.layers.{i}"
     d = _mla_attn(ld, p)
     d.update(_moe_experts(ld, p))
     return d
@@ -482,6 +488,178 @@ def _load_gemma4(ld: _Loader, config: ModelConfig, dtype) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _load_siglip(ld: _Loader) -> Optional[dict]:
+    """Gemma3 SigLIP vision (reference gemma3/mod.rs:30-125):
+    vision_tower.vision_model.{embeddings,encoder.layers.N,post_layernorm}
+    + multi_modal_projector.{mm_input_projection_weight,mm_soft_emb_norm}.
+    Returns {"vision": ..., "mm_proj": ..., "mm_norm": ...} or None."""
+    st = ld.st
+    vp = None
+    for cand in ("vision_tower.vision_model", "model.vision_tower.vision_model"):
+        if f"{cand}.embeddings.patch_embedding.weight" in st:
+            vp = cand
+            break
+    if vp is None:
+        return None
+    dt = ld.dtype
+
+    def t(key):
+        return st.get(key).astype(dt)
+
+    def lin(prefix):
+        w = t(f"{prefix}.weight").T
+        b = t(f"{prefix}.bias") if f"{prefix}.bias" in st else None
+        return w, b
+
+    conv = st.get(f"{vp}.embeddings.patch_embedding.weight").astype(jnp.float32)
+    W = conv.shape[0]  # [W, 3, ps, ps] conv2d
+    vision: dict = {
+        "patch_embed": conv.reshape(W, -1).T.astype(dt),
+        "patch_embed_b": t(f"{vp}.embeddings.patch_embedding.bias"),
+        "pos_embed": t(f"{vp}.embeddings.position_embedding.weight"),
+        "post_ln_w": t(f"{vp}.post_layernorm.weight"),
+        "post_ln_b": t(f"{vp}.post_layernorm.bias"),
+    }
+    blocks: List[dict] = []
+    i = 0
+    while f"{vp}.encoder.layers.{i}.layer_norm1.weight" in st:
+        p = f"{vp}.encoder.layers.{i}"
+        b = {
+            "ln1_w": t(f"{p}.layer_norm1.weight"),
+            "ln1_b": t(f"{p}.layer_norm1.bias"),
+            "ln2_w": t(f"{p}.layer_norm2.weight"),
+            "ln2_b": t(f"{p}.layer_norm2.bias"),
+        }
+        for ours, hf in (
+            ("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("out", "out_proj"),
+        ):
+            b[ours], b[f"{ours}_b"] = lin(f"{p}.self_attn.{hf}")
+        b["fc1"], b["fc1_b"] = lin(f"{p}.mlp.fc1")
+        b["fc2"], b["fc2_b"] = lin(f"{p}.mlp.fc2")
+        blocks.append(b)
+        i += 1
+    vision["blocks"] = _stack(
+        [{k: v for k, v in b.items() if v is not None} for b in blocks]
+    )
+    mp = "multi_modal_projector"
+    if f"model.{mp}.mm_input_projection_weight" in st:
+        mp = f"model.{mp}"
+    return {
+        "vision": vision,
+        "mm_proj": t(f"{mp}.mm_input_projection_weight"),  # [W, D_text]
+        "mm_norm": t(f"{mp}.mm_soft_emb_norm.weight"),
+    }
+
+
+def _load_vision(ld: _Loader) -> Optional[dict]:
+    """Vision tower (qwen2/2.5/3-VL family) → models/vision.py pytree.
+
+    Mirrors the reference's Qwen3VLVisionModel::new tensor names
+    (qwen3_vl/vision.rs:660-735): patch_embed.proj (conv3d — summed over
+    the temporal axis, exact for static images since frames are repeats),
+    pos_embed, blocks.{i}.{norm1,norm2,attn.qkv,attn.proj,mlp.*}, merger,
+    deepstack_merger_list.{i}. Returns None when no vision tensors exist.
+    """
+    st = ld.st
+    vp = None
+    for cand in ("model.visual", "visual", "vision_tower", "model.vision_tower"):
+        if f"{cand}.patch_embed.proj.weight" in st:
+            vp = cand
+            break
+    if vp is None:
+        return None
+    dt = ld.dtype
+
+    def t(key):
+        return st.get(key).astype(dt)
+
+    def lin(prefix):  # [N, K](+bias) → w [K, N], b [N]
+        w = t(f"{prefix}.weight").T
+        b = t(f"{prefix}.bias") if f"{prefix}.bias" in st else None
+        return w, b
+
+    conv = st.get(f"{vp}.patch_embed.proj.weight").astype(jnp.float32)
+    if conv.ndim == 5:  # [W, 3, tps, ps, ps] conv3d → temporal sum
+        conv = jnp.sum(conv, axis=2)
+    W = conv.shape[0]
+    params: dict = {
+        "patch_embed": conv.reshape(W, -1).T.astype(dt),
+    }
+    if f"{vp}.patch_embed.proj.bias" in st:
+        params["patch_embed_b"] = t(f"{vp}.patch_embed.proj.bias")
+    if f"{vp}.pos_embed.weight" in st:
+        params["pos_embed"] = t(f"{vp}.pos_embed.weight")
+
+    blocks: List[dict] = []
+    i = 0
+    while f"{vp}.blocks.{i}.norm1.weight" in st:
+        p = f"{vp}.blocks.{i}"
+        b = {
+            "ln1_w": t(f"{p}.norm1.weight"),
+            "ln1_b": t(f"{p}.norm1.bias"),
+            "ln2_w": t(f"{p}.norm2.weight"),
+            "ln2_b": t(f"{p}.norm2.bias"),
+        }
+        b["qkv"], b["qkv_b"] = lin(f"{p}.attn.qkv")
+        b["proj"], b["proj_b"] = lin(f"{p}.attn.proj")
+        if f"{p}.mlp.linear_fc1.weight" in st:  # qwen3-VL
+            b["fc1"], b["fc1_b"] = lin(f"{p}.mlp.linear_fc1")
+            b["fc2"], b["fc2_b"] = lin(f"{p}.mlp.linear_fc2")
+        elif f"{p}.mlp.gate_proj.weight" in st:  # qwen2.5-VL gated
+            b["gate"], b["gate_b"] = lin(f"{p}.mlp.gate_proj")
+            b["fc1"], b["fc1_b"] = lin(f"{p}.mlp.up_proj")
+            b["fc2"], b["fc2_b"] = lin(f"{p}.mlp.down_proj")
+        else:  # qwen2-VL
+            b["fc1"], b["fc1_b"] = lin(f"{p}.mlp.fc1")
+            b["fc2"], b["fc2_b"] = lin(f"{p}.mlp.fc2")
+        blocks.append(b)
+        i += 1
+    # drop Nones (unbiased projections) uniformly before stacking
+    keys = set(blocks[0]) if blocks else set()
+    params["blocks"] = _stack(
+        [{k: v for k, v in b.items() if v is not None and k in keys} for b in blocks]
+    )
+
+    mp = f"{vp}.merger"
+    if f"{mp}.norm.weight" in st:  # qwen3-VL
+        params["merger_ln_w"] = t(f"{mp}.norm.weight")
+        params["merger_ln_b"] = t(f"{mp}.norm.bias")
+        fc1, fc1_b = lin(f"{mp}.linear_fc1")
+        fc2, fc2_b = lin(f"{mp}.linear_fc2")
+    else:  # qwen2/2.5-VL: ln_q + mlp.0 / mlp.2
+        params["merger_ln_w"] = t(f"{mp}.ln_q.weight")
+        params["merger_ln_b"] = t(f"{mp}.ln_q.bias")
+        fc1, fc1_b = lin(f"{mp}.mlp.0")
+        fc2, fc2_b = lin(f"{mp}.mlp.2")
+    params["merger_fc1"], params["merger_fc2"] = fc1, fc2
+    if fc1_b is not None:
+        params["merger_fc1_b"] = fc1_b
+    if fc2_b is not None:
+        params["merger_fc2_b"] = fc2_b
+
+    # deepstack mergers (qwen3-VL)
+    ds = []
+    i = 0
+    while f"{vp}.deepstack_merger_list.{i}.norm.weight" in st:
+        p = f"{vp}.deepstack_merger_list.{i}"
+        d = {
+            "ln_w": t(f"{p}.norm.weight"),
+            "ln_b": t(f"{p}.norm.bias"),
+        }
+        d["fc1"], d["fc1_b"] = lin(f"{p}.linear_fc1")
+        d["fc2"], d["fc2_b"] = lin(f"{p}.linear_fc2")
+        ds.append(d)
+        i += 1
+    if ds:
+        stacked = _stack(ds)
+        for ours, theirs in (
+            ("ds_ln_w", "ln_w"), ("ds_ln_b", "ln_b"), ("ds_fc1", "fc1"),
+            ("ds_fc1_b", "fc1_b"), ("ds_fc2", "fc2"), ("ds_fc2_b", "fc2_b"),
+        ):
+            params[ours] = stacked[theirs]
+    return params
+
+
 def load_params(
     src,
     config: ModelConfig,
@@ -506,8 +684,8 @@ def load_params(
     Ld = cfg.first_k_dense_replace if is_moe else 0
 
     params: dict = {
-        "embed": ld.t("model.embed_tokens.weight"),
-        "final_norm": ld.norm("model.norm"),
+        "embed": ld.t(f"{ld.pre}.embed_tokens.weight"),
+        "final_norm": ld.norm(f"{ld.pre}.norm"),
     }
     dense_fn = _mla_dense_layer if is_mla else _dense_layer
     moe_fn = _mla_moe_layer if is_mla else _moe_layer
@@ -525,6 +703,13 @@ def load_params(
         params["lm_head"] = _maybe_quant(
             head, "int8" if quant is not None else None, head.shape[0]
         )
+    vision = _load_vision(ld)
+    if vision is not None:
+        params["vision"] = vision
+    else:
+        siglip = _load_siglip(ld)
+        if siglip is not None:
+            params.update(siglip)
     logger.info("loaded %d tensors from %s", len(list(st.keys())), src)
     return params
 
