@@ -110,6 +110,29 @@ def test_tp_gemma4_matches_single_device():
     assert single == sharded
 
 
+def test_tp_llama4_matches_single_device():
+    """Interleaved dense/MoE per-layer dicts + fused shared expert under TP."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    from tests.test_llama4 import HF, make_engine
+    from vllm_rs_tpu.config import ModelConfig
+    from vllm_rs_tpu.models.llama4 import Llama4ForCausalLM
+
+    cfg = ModelConfig.from_hf_dict(HF)
+    model, params, base = make_engine(cfg)
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    prompts = [list(np.random.RandomState(3).randint(1, 255, size=9))]
+    single = base.generate(prompts, sp)[0].output_token_ids
+    mesh = make_mesh(tp_size=2)
+    ecfg = dataclasses.replace(base.econfig, tp_size=2)
+    runner = ModelRunner(
+        Llama4ForCausalLM(cfg, block_size=4),
+        shard_params(params, mesh), ecfg, mesh=mesh,
+    )
+    sharded = LLMEngine(ecfg, runner).generate(prompts, sp)[0].output_token_ids
+    assert single == sharded
+
+
 def test_tp_mla_matches_single_device():
     if len(jax.devices()) < 2:
         pytest.skip("needs virtual multi-device CPU")

@@ -375,6 +375,248 @@ def test_gemma3_vl_checkpoint_roundtrip(tmp_path):
     assert len(engine.requests[sid].seq.output_token_ids) == 3
 
 
+MISTRAL3_CFG = {
+    "model_type": "mistral3",
+    "image_token_index": 10,
+    "spatial_merge_size": 2,
+    "multimodal_projector_bias": False,
+    "text_config": {
+        "model_type": "mistral",
+        "hidden_size": 64,
+        "intermediate_size": 96,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "vocab_size": 256,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0,
+        "eos_token_id": 0,
+    },
+    "vision_config": {
+        "hidden_size": 32,
+        "num_attention_heads": 2,
+        "head_dim": 16,
+        "intermediate_size": 64,
+        "patch_size": 8,
+        "rope_theta": 10000.0,
+        "num_hidden_layers": 2,
+        "image_size": 64,
+    },
+}
+
+
+def test_mistral3_pixtral_checkpoint_roundtrip(tmp_path):
+    from vllm_rs_tpu.models.mistral3_vl import Mistral3VLForCausalLM
+
+    rng = np.random.RandomState(6)
+    tc, vc = MISTRAL3_CFG["text_config"], MISTRAL3_CFG["vision_config"]
+    sd = _text_sd(rng, "language_model.model", tc)
+    W, M, A = vc["hidden_size"], vc["intermediate_size"], 2 * 16
+    vp = "vision_tower"
+    sd.update(_rng_tensors(rng, {
+        f"{vp}.patch_conv.weight": (W, 3, 8, 8),
+    }))
+    sd[f"{vp}.ln_pre.weight"] = np.ones((W,), np.float32)
+    for i in range(2):
+        p = f"{vp}.transformer.layers.{i}"
+        sd.update(_rng_tensors(rng, {
+            f"{p}.attention.q_proj.weight": (A, W),
+            f"{p}.attention.k_proj.weight": (A, W),
+            f"{p}.attention.v_proj.weight": (A, W),
+            f"{p}.attention.o_proj.weight": (W, A),
+            f"{p}.feed_forward.gate_proj.weight": (M, W),
+            f"{p}.feed_forward.up_proj.weight": (M, W),
+            f"{p}.feed_forward.down_proj.weight": (W, M),
+        }))
+        sd[f"{p}.attention_norm.weight"] = np.ones((W,), np.float32)
+        sd[f"{p}.ffn_norm.weight"] = np.ones((W,), np.float32)
+    D = tc["hidden_size"]
+    sd.update(_rng_tensors(rng, {
+        "multi_modal_projector.patch_merger.merging_layer.weight": (W, W * 4),
+        "multi_modal_projector.linear_1.weight": (D, W),
+        "multi_modal_projector.linear_2.weight": (D, D),
+    }))
+    sd["multi_modal_projector.norm.weight"] = np.ones((W,), np.float32)
+    _write_ckpt(tmp_path, sd, MISTRAL3_CFG)
+    cfg = ModelConfig.from_hf_dict(json.loads((tmp_path / "config.json").read_text()))
+    assert cfg.extra_get("image_token_id") == 10
+    assert cfg.extra_get("vision_head_dim") == 16
+    model = Mistral3VLForCausalLM(cfg, block_size=4)
+    assert model.has_vision and model.merge == 2
+    params = load_params(str(tmp_path), cfg)
+    assert params["vision"]["blocks"]["q"].shape == (2, W, A)
+    assert params["mm_merge"].shape == (W * 4, W)
+
+    class Img:
+        patches = np.random.RandomState(8).randn(4 * 6, 3 * 64).astype(np.float32)
+        grid = (4, 6)
+        num_tokens = 6  # (4/2)*(6/2)
+        seed = 9
+
+    emb = model.encode_image(params, Img())
+    assert emb.shape == (6, D) and np.all(np.isfinite(emb))
+
+    ecfg = EngineConfig(
+        model=cfg, cache=CacheConfig(block_size=4, num_blocks=64),
+        scheduler=SchedulerConfig(max_num_seqs=4, chunk_size=32, max_model_len=128,
+                                  prefill_buckets=(16,)),
+        prefill_buckets=(16,), decode_buckets=(2,),
+    )
+    engine = LLMEngine(ecfg, ModelRunner(model, params, ecfg))
+    prompt = [1, 2] + [10] * 6 + [3]
+    sid = engine.add_request(
+        prompt, SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True),
+        images=[Img()],
+    )
+    while not engine.requests[sid].seq.is_finished:
+        engine.step()
+    assert len(engine.requests[sid].seq.output_token_ids) == 3
+
+
+LLAMA4_CFG = {
+    "model_type": "llama4",
+    "image_token_index": 20,
+    "text_config": {
+        "model_type": "llama4_text",
+        "hidden_size": 64,
+        "intermediate_size": 48,
+        "intermediate_size_mlp": 96,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "head_dim": 16,
+        "vocab_size": 256,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0,
+        "num_local_experts": 2,
+        "num_experts_per_tok": 1,
+        "interleave_moe_layer_step": 2,
+        "attention_chunk_size": 8,
+        "eos_token_id": 0,
+    },
+    "vision_config": {
+        "hidden_size": 32,
+        "num_attention_heads": 2,
+        "intermediate_size": 128,  # equals shuffled dim 32/0.25
+        "patch_size": 8,
+        "image_size": 32,  # 4x4 grid → 2x2 after shuffle
+        "num_hidden_layers": 2,
+        "vision_output_dim": 48,
+        "rope_theta": 10000.0,
+    },
+}
+
+
+def test_llama4_checkpoint_roundtrip(tmp_path):
+    from vllm_rs_tpu.models.llama4 import Llama4ForCausalLM
+
+    rng = np.random.RandomState(9)
+    tc = LLAMA4_CFG["text_config"]
+    D, Dh = tc["hidden_size"], tc["head_dim"]
+    Hq, Hk = tc["num_attention_heads"], tc["num_key_value_heads"]
+    pre = "language_model.model"
+    sd = _rng_tensors(rng, {f"{pre}.embed_tokens.weight": (tc["vocab_size"], D)})
+    sd[f"{pre}.norm.weight"] = np.ones((D,), np.float32)
+    sd["language_model.lm_head.weight"] = rng.randn(tc["vocab_size"], D).astype(np.float32) * 0.05
+    for i in range(2):
+        p = f"{pre}.layers.{i}"
+        sd.update(_rng_tensors(rng, {
+            f"{p}.self_attn.q_proj.weight": (Hq * Dh, D),
+            f"{p}.self_attn.k_proj.weight": (Hk * Dh, D),
+            f"{p}.self_attn.v_proj.weight": (Hk * Dh, D),
+            f"{p}.self_attn.o_proj.weight": (D, Hq * Dh),
+        }))
+        sd[f"{p}.input_layernorm.weight"] = np.ones((D,), np.float32)
+        sd[f"{p}.post_attention_layernorm.weight"] = np.ones((D,), np.float32)
+        if i == 1:  # MoE layer ((i+1) % 2 == 0)
+            I = tc["intermediate_size"]
+            sd.update(_rng_tensors(rng, {
+                f"{p}.feed_forward.router.weight": (2, D),
+                f"{p}.feed_forward.experts.gate_up_proj": (2, D, 2 * I),
+                f"{p}.feed_forward.experts.down_proj": (2, I, D),
+                f"{p}.feed_forward.shared_expert.gate_proj.weight": (I, D),
+                f"{p}.feed_forward.shared_expert.up_proj.weight": (I, D),
+                f"{p}.feed_forward.shared_expert.down_proj.weight": (D, I),
+            }))
+        else:
+            M = tc["intermediate_size_mlp"]
+            sd.update(_rng_tensors(rng, {
+                f"{p}.feed_forward.gate_proj.weight": (M, D),
+                f"{p}.feed_forward.up_proj.weight": (M, D),
+                f"{p}.feed_forward.down_proj.weight": (D, M),
+            }))
+    # vision (llama4/vision.rs names)
+    vc = LLAMA4_CFG["vision_config"]
+    W, M = vc["hidden_size"], vc["intermediate_size"]
+    g = vc["image_size"] // vc["patch_size"]
+    vp = "vision_model"
+    sd.update(_rng_tensors(rng, {
+        f"{vp}.patch_embedding.linear.weight": (W, 3 * 64),
+        f"{vp}.class_embedding": (W,),
+        f"{vp}.positional_embedding_vlm": (g * g + 1, W),
+        f"{vp}.vision_adapter.mlp.fc1.weight": (vc["vision_output_dim"], W * 4),
+        f"{vp}.vision_adapter.mlp.fc2.weight": (vc["vision_output_dim"], vc["vision_output_dim"]),
+    }))
+    for n in ("layernorm_pre", "layernorm_post"):
+        sd[f"{vp}.{n}.weight"] = np.ones((W,), np.float32)
+        sd[f"{vp}.{n}.bias"] = np.zeros((W,), np.float32)
+    for i in range(2):
+        p = f"{vp}.model.layers.{i}"
+        sd.update(_rng_tensors(rng, {
+            f"{p}.self_attn.q_proj.weight": (W, W),
+            f"{p}.self_attn.q_proj.bias": (W,),
+            f"{p}.self_attn.k_proj.weight": (W, W),
+            f"{p}.self_attn.k_proj.bias": (W,),
+            f"{p}.self_attn.v_proj.weight": (W, W),
+            f"{p}.self_attn.v_proj.bias": (W,),
+            f"{p}.self_attn.o_proj.weight": (W, W),
+            f"{p}.self_attn.o_proj.bias": (W,),
+            f"{p}.mlp.fc1.weight": (M, W),
+            f"{p}.mlp.fc1.bias": (M,),
+            f"{p}.mlp.fc2.weight": (W, M),
+            f"{p}.mlp.fc2.bias": (W,),
+        }))
+        for n in ("input_layernorm", "post_attention_layernorm"):
+            sd[f"{p}.{n}.weight"] = np.ones((W,), np.float32)
+            sd[f"{p}.{n}.bias"] = np.zeros((W,), np.float32)
+    sd.update(_rng_tensors(rng, {
+        "multi_modal_projector.linear_1.weight": (D, vc["vision_output_dim"]),
+    }))
+    _write_ckpt(tmp_path, sd, LLAMA4_CFG)
+    cfg = ModelConfig.from_hf_dict(json.loads((tmp_path / "config.json").read_text()))
+    assert cfg.extra_get("image_token_id") == 20
+    model = Llama4ForCausalLM(cfg, block_size=4)
+    assert model.is_moe_layer == (False, True) and model.has_vision
+    params = load_params(str(tmp_path), cfg)
+    assert params["layers"][1]["w_gate"].shape == (2, 64, 48)
+    assert "lm_head" in params
+
+    class Img:
+        patches = rng.randn(g * g, 3 * 64).astype(np.float32)
+        grid = (g, g)
+        num_tokens = (g // 2) ** 2  # pixel shuffle r=0.5 → 4x fewer
+        seed = 3
+
+    emb = model.encode_image(params, Img())
+    assert emb.shape == (4, D) and np.all(np.isfinite(emb))
+
+    ecfg = EngineConfig(
+        model=cfg, cache=CacheConfig(block_size=4, num_blocks=64),
+        scheduler=SchedulerConfig(max_num_seqs=4, chunk_size=32, max_model_len=128,
+                                  prefill_buckets=(16,)),
+        prefill_buckets=(16,), decode_buckets=(2,),
+    )
+    engine = LLMEngine(ecfg, ModelRunner(model, params, ecfg))
+    prompt = [1, 2] + [20] * 4 + [3]
+    sid = engine.add_request(
+        prompt, SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True),
+        images=[Img()],
+    )
+    while not engine.requests[sid].seq.is_finished:
+        engine.step()
+    assert len(engine.requests[sid].seq.output_token_ids) == 3
+
+
 def test_vl_checkpoint_generates_with_image(tmp_path):
     rng = np.random.RandomState(4)
     sd = {**_text_sd(rng, "model.language_model", HF_CFG["text_config"]),

@@ -61,6 +61,8 @@ def _vision_extra(cfg: dict) -> list:
         extra.append(("image_token_id", int(cfg["image_token_index"])))
     if cfg.get("mm_tokens_per_image"):
         extra.append(("mm_tokens_per_image", int(cfg["mm_tokens_per_image"])))
+    if cfg.get("spatial_merge_size"):  # mistral3 top-level (Mistral3Config)
+        extra.append(("vision_spatial_merge", int(cfg["spatial_merge_size"])))
     vc = cfg.get("vision_config")
     if isinstance(vc, dict):
         m = {
@@ -76,16 +78,37 @@ def _vision_extra(cfg: dict) -> list:
             "temporal_patch_size": "vision_temporal_patch",
             "num_position_embeddings": "vision_num_pos",
             "out_hidden_size": "vision_out_hidden",
+            "head_dim": "vision_head_dim",
         }
         for hf, ours in m.items():
             if vc.get(hf):
                 extra.append((ours, int(vc[hf])))
+        if vc.get("rope_theta"):
+            extra.append(("vision_rope_theta", float(vc["rope_theta"])))
         dsi = vc.get("deepstack_visual_indexes")
         if isinstance(dsi, list):
             extra.append(("deepstack_visual_indexes", tuple(dsi)))
     rs = cfg.get("rope_scaling") or {}
     if isinstance(rs, dict) and isinstance(rs.get("mrope_section"), list):
         extra.append(("mrope_section", tuple(rs["mrope_section"])))
+    return extra
+
+
+def _llama4_extra(cfg: dict) -> list:
+    """Llama4 text knobs (reference llama4/config.rs + mod.rs:189-240):
+    iRoPE layer pattern, chunked attention, interleaved MoE layers,
+    separate dense-MLP width."""
+    extra = []
+    for k in ("interleave_moe_layer_step", "attention_chunk_size",
+              "intermediate_size_mlp"):
+        if cfg.get(k):
+            extra.append((k, int(cfg[k])))
+    nrl = cfg.get("no_rope_layers")
+    if isinstance(nrl, list):  # HF: 1 = rope, 0 = nope
+        extra.append(("no_rope_layers", tuple(int(x) for x in nrl)))
+    ml = cfg.get("moe_layers")
+    if isinstance(ml, list):
+        extra.append(("moe_layers", tuple(int(x) for x in ml)))
     return extra
 
 
@@ -98,6 +121,8 @@ def _hybrid_extra(cfg: dict, mt: str) -> tuple:
     )
     if mt == "gemma4":
         return tuple(_gemma4_extra(cfg) + vision)
+    if mt in ("llama4", "llama4_text"):
+        return tuple(_llama4_extra(cfg) + vision)
     if vision and mt not in ("qwen3_next", "qwen3_5", "qwen3_5_moe"):
         return tuple(vision)
     if mt not in ("qwen3_next", "qwen3_5", "qwen3_5_moe") and not any(
@@ -291,8 +316,11 @@ class ModelConfig:
             ),
             qk_norm=mt in ("qwen3", "qwen3_moe", "gemma4")
             or mt.startswith("gemma3")
-            or cfg.get("use_qk_norm", False),
-            qk_l2_norm=mt == "minimax" or cfg.get("qk_l2_norm", False),
+            or (cfg.get("use_qk_norm", False) and not mt.startswith("llama4")),
+            # llama4's "use_qk_norm" is an L2 norm (flash l2norm), not RMS
+            qk_l2_norm=mt == "minimax"
+            or (mt.startswith("llama4") and cfg.get("use_qk_norm", False))
+            or cfg.get("qk_l2_norm", False),
             attn_temperature_tuning=bool(cfg.get("attn_temperature_tuning", False)),
             attn_floor_scale=float(cfg.get("floor_scale", 8192.0)),
             attn_scale_coef=float(cfg.get("attn_scale", 0.1)),

@@ -33,15 +33,21 @@ for _mt in ("llama", "mistral", "yi", "stablelm", "qwen2", "qwen3", "gemma", "ge
 register("gemma3", "vllm_rs_tpu.models.gemma3_vl:Gemma3VLForCausalLM")
 for _mt in ("qwen2_moe", "qwen3_moe", "mixtral", "glm4_moe", "minimax"):
     register(_mt, "vllm_rs_tpu.models.qwen3_moe:MoECausalLM")
-# vision-language family (qwen3_vl/, mistral3_vl/)
-for _mt in ("qwen2_vl", "qwen2_5_vl", "qwen3_vl", "mistral3", "ministral3"):
+# vision-language family (qwen3_vl/)
+for _mt in ("qwen2_vl", "qwen2_5_vl", "qwen3_vl", "qwen3_vl_moe"):
     register(_mt, "vllm_rs_tpu.models.qwen_vl:QwenVLForCausalLM")
+# pixtral tower family (mistral3_vl/)
+for _mt in ("mistral3", "ministral3", "pixtral"):
+    register(_mt, "vllm_rs_tpu.models.mistral3_vl:Mistral3VLForCausalLM")
 # hybrid GDN family (qwen3_5.rs / deltanet.rs)
 for _mt in ("qwen3_next", "qwen3_5", "qwen3_5_moe"):
     register(_mt, "vllm_rs_tpu.models.qwen3_next:Qwen3NextForCausalLM")
 # gemma4: heterogeneous per-layer KV dims (gemma4.rs)
 for _mt in ("gemma4", "gemma4_text"):
     register(_mt, "vllm_rs_tpu.models.gemma4:Gemma4ForCausalLM")
+# llama4: iRoPE + interleaved MoE (+ vision) (llama4/)
+for _mt in ("llama4", "llama4_text"):
+    register(_mt, "vllm_rs_tpu.models.llama4:Llama4ForCausalLM")
 # MLA family (deepseek3.rs / glm4_moe_lite.rs)
 for _mt in ("deepseek_v2", "deepseek_v3", "glm4_moe_lite", "kimi_k2"):
     register(_mt, "vllm_rs_tpu.models.deepseek3:DeepseekV3")

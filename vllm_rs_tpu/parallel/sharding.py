@@ -39,6 +39,9 @@ _PLANS = {
     "shared_gate_proj": _COL,
     "shared_up_proj": _COL,
     "shared_down_proj": _ROW,
+    # llama4 fused shared expert (models/llama4.py)
+    "shared_gate_up": _COL,
+    "shared_down": _ROW,
     # MLA projections: q (direct or LoRA-B) col-parallel, absorbed factors
     # sharded on the head axis (kv_b head shards, mla_attention.rs)
     "q_b": _COL,

@@ -483,6 +483,137 @@ def _load_gemma4(ld: _Loader, config: ModelConfig, dtype) -> dict:
     return params
 
 
+def _load_llama4(ld: _Loader, config: ModelConfig, dtype) -> dict:
+    """Llama4 checkpoints (HF Llama4ForConditionalGeneration): per-layer
+    list with interleaved dense/MoE feed_forwards, stacked expert tensors
+    `feed_forward.experts.{gate_up_proj,down_proj}` (bare parameters, no
+    .weight suffix), vision under vision_model + multi_modal_projector."""
+    from vllm_rs_tpu.models.llama4 import Llama4ForCausalLM
+    from vllm_rs_tpu.ops.rope import rope_inv_freq
+
+    cfg = config
+    model = Llama4ForCausalLM(cfg)
+    pre = ld.pre
+    st = ld.st
+    inv = rope_inv_freq(cfg)
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"{pre}.layers.{i}"
+        d = {
+            "input_ln": ld.norm(f"{p}.input_layernorm"),
+            "post_ln": ld.norm(f"{p}.post_attention_layernorm"),
+            "o": ld.lin(f"{p}.self_attn.o_proj"),
+            "inv_freq": inv,
+        }
+        q = ld.lin(f"{p}.self_attn.q_proj")
+        k = ld.lin(f"{p}.self_attn.k_proj")
+        v = ld.lin(f"{p}.self_attn.v_proj")
+        fused = _fuse_n(q, k, v)
+        if fused is not None:
+            d["qkv"] = fused
+        else:
+            d["q"], d["k"], d["v"] = q, k, v
+        ff = f"{p}.feed_forward"
+        if f"{ff}.router.weight" in st:  # MoE layer
+            d["router"] = ld.lin(f"{ff}.router", quantize=False)
+            gu = ld.t(f"{ff}.experts.gate_up_proj")  # [E, D, 2I] stacked
+            I = gu.shape[-1] // 2
+            wg, wu = gu[..., :I], gu[..., I:]
+            wd = ld.t(f"{ff}.experts.down_proj")  # [E, I, D]
+            if ld.quant is not None and wg.shape[1] % ld.group == 0:
+                qz = lambda w: jax.vmap(  # noqa: E731
+                    lambda x: quantize_param(x, ld.quant, ld.group)
+                )(w)
+                wg, wu, wd = qz(wg), qz(wu), qz(wd)
+            d["w_gate"], d["w_up"], d["w_down"] = wg, wu, wd
+            sg = ld.lin(f"{ff}.shared_expert.gate_proj")
+            su = ld.lin(f"{ff}.shared_expert.up_proj")
+            fused = _fuse_n(sg, su)
+            if fused is not None:
+                d["shared_gate_up"] = fused
+            else:
+                d["shared_gate"], d["shared_up"] = sg, su
+            d["shared_down"] = ld.lin(f"{ff}.shared_expert.down_proj")
+        else:  # dense layer
+            g = ld.lin(f"{ff}.gate_proj")
+            u = ld.lin(f"{ff}.up_proj")
+            fused = _fuse_n(g, u)
+            if fused is not None:
+                d["gate_up"] = fused
+            else:
+                d["gate"], d["up"] = g, u
+            d["down"] = ld.lin(f"{ff}.down_proj")
+        layers.append(d)
+    params: dict = {
+        "embed": ld.t(f"{pre}.embed_tokens.weight"),
+        "final_norm": ld.norm(f"{pre}.norm"),
+        "layers": layers,
+    }
+    for head_key in ("lm_head.weight", "language_model.lm_head.weight"):
+        if not cfg.tie_word_embeddings and head_key in st:
+            head = st.get(head_key).astype(dtype).T
+            params["lm_head"] = _maybe_quant(
+                head, "int8" if ld.quant is not None else None, head.shape[0]
+            )
+            break
+
+    # vision (llama4/vision.rs names)
+    vp = None
+    for cand in ("vision_model", "model.vision_model"):
+        if f"{cand}.class_embedding" in st:
+            vp = cand
+            break
+    if vp is not None and model.has_vision:
+        dt = ld.dtype
+
+        def t(key):
+            return st.get(key).astype(dt)
+
+        def lin(prefix):
+            w = t(f"{prefix}.weight").T
+            b = t(f"{prefix}.bias") if f"{prefix}.bias" in st else None
+            return w, b
+
+        vision: dict = {
+            "patch_embed": t(f"{vp}.patch_embedding.linear.weight").T,
+            "class_embedding": t(f"{vp}.class_embedding"),
+            "pos_embed": t(f"{vp}.positional_embedding_vlm"),
+            "ln_pre_w": t(f"{vp}.layernorm_pre.weight"),
+            "ln_pre_b": t(f"{vp}.layernorm_pre.bias"),
+            "ln_post_w": t(f"{vp}.layernorm_post.weight"),
+            "ln_post_b": t(f"{vp}.layernorm_post.bias"),
+            "adapter_fc1": t(f"{vp}.vision_adapter.mlp.fc1.weight").T,
+            "adapter_fc2": t(f"{vp}.vision_adapter.mlp.fc2.weight").T,
+        }
+        blocks: List[dict] = []
+        i = 0
+        while f"{vp}.model.layers.{i}.input_layernorm.weight" in st:
+            p = f"{vp}.model.layers.{i}"
+            b = {
+                "ln1_w": t(f"{p}.input_layernorm.weight"),
+                "ln1_b": t(f"{p}.input_layernorm.bias"),
+                "ln2_w": t(f"{p}.post_attention_layernorm.weight"),
+                "ln2_b": t(f"{p}.post_attention_layernorm.bias"),
+            }
+            for ours, hf in (
+                ("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("o", "o_proj"),
+            ):
+                b[ours], b[f"{ours}_b"] = lin(f"{p}.self_attn.{hf}")
+            b["fc1"], b["fc1_b"] = lin(f"{p}.mlp.fc1")
+            b["fc2"], b["fc2_b"] = lin(f"{p}.mlp.fc2")
+            blocks.append(b)
+            i += 1
+        vision["blocks"] = _stack(
+            [{k2: v2 for k2, v2 in b.items() if v2 is not None} for b in blocks]
+        )
+        params["vision"] = vision
+        mp = "multi_modal_projector"
+        if f"model.{mp}.linear_1.weight" in st:
+            mp = f"model.{mp}"
+        params["mm_proj"] = t(f"{mp}.linear_1.weight").T
+    return params
+
+
 # ---------------------------------------------------------------------------
 # top level
 # ---------------------------------------------------------------------------
@@ -549,6 +680,61 @@ def _load_siglip(ld: _Loader) -> Optional[dict]:
         "mm_proj": t(f"{mp}.mm_input_projection_weight"),  # [W, D_text]
         "mm_norm": t(f"{mp}.mm_soft_emb_norm.weight"),
     }
+
+
+def _load_pixtral(ld: _Loader) -> Optional[dict]:
+    """Mistral3/Pixtral vision (reference mistral3_vl/vision.rs + mod.rs):
+    vision_tower.{patch_conv,ln_pre,transformer.layers.N} +
+    multi_modal_projector.{norm,patch_merger.merging_layer,linear_1,linear_2}.
+    Returns model-level params {"vision", "mm_norm", "mm_merge", ...}."""
+    st = ld.st
+    vp = None
+    for cand in ("vision_tower", "model.vision_tower"):
+        if f"{cand}.patch_conv.weight" in st:
+            vp = cand
+            break
+    if vp is None:
+        return None
+    dt = ld.dtype
+
+    def t(key):
+        return st.get(key).astype(dt)
+
+    conv = st.get(f"{vp}.patch_conv.weight").astype(jnp.float32)
+    W = conv.shape[0]
+    vision: dict = {
+        "patch_embed": conv.reshape(W, -1).T.astype(dt),
+        "ln_pre": t(f"{vp}.ln_pre.weight"),
+    }
+    blocks: List[dict] = []
+    i = 0
+    while f"{vp}.transformer.layers.{i}.attention_norm.weight" in st:
+        p = f"{vp}.transformer.layers.{i}"
+        b = {
+            "attn_ln": t(f"{p}.attention_norm.weight"),
+            "ffn_ln": t(f"{p}.ffn_norm.weight"),
+        }
+        for ours, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("o", "o_proj")):
+            b[ours] = t(f"{p}.attention.{hf}.weight").T
+        for ours, hf in (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")):
+            b[ours] = t(f"{p}.feed_forward.{hf}.weight").T
+        blocks.append(b)
+        i += 1
+    vision["blocks"] = _stack(blocks)
+    mp = "multi_modal_projector"
+    if f"model.{mp}.norm.weight" in st:
+        mp = f"model.{mp}"
+    out = {
+        "vision": vision,
+        "mm_norm": t(f"{mp}.norm.weight"),
+        "mm_merge": t(f"{mp}.patch_merger.merging_layer.weight").T,
+        "mm_fc1": t(f"{mp}.linear_1.weight").T,
+        "mm_fc2": t(f"{mp}.linear_2.weight").T,
+    }
+    for ours, hf in (("mm_fc1_b", "linear_1.bias"), ("mm_fc2_b", "linear_2.bias")):
+        if f"{mp}.{hf}" in st:
+            out[ours] = t(f"{mp}.{hf}")
+    return out
 
 
 def _load_vision(ld: _Loader) -> Optional[dict]:
@@ -678,6 +864,8 @@ def load_params(
     cfg = config
     if cfg.model_type.startswith("gemma4"):
         return _load_gemma4(ld, cfg, dtype)
+    if cfg.model_type.startswith("llama4"):
+        return _load_llama4(ld, cfg, dtype)
     L = cfg.num_hidden_layers
     is_mla = cfg.kv_lora_rank > 0
     is_moe = cfg.num_experts > 0
@@ -707,9 +895,9 @@ def load_params(
     if vision is not None:
         params["vision"] = vision
     else:
-        siglip = _load_siglip(ld)
-        if siglip is not None:
-            params.update(siglip)
+        extra = _load_siglip(ld) or _load_pixtral(ld)
+        if extra is not None:
+            params.update(extra)
     logger.info("loaded %d tensors from %s", len(list(st.keys())), src)
     return params
 
