@@ -12,6 +12,7 @@ from __future__ import annotations
 import asyncio
 import base64
 import json
+import os
 import logging
 import time
 from typing import Any, Dict, List, Optional
@@ -178,6 +179,13 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
                     events += parser.finish()
                 for kind, payload in events:
                     if kind == "content":
+                        # reference VLLM_RS_STREAM_AS_REASONING_CONTENT
+                        # (env.rs): route all deltas as reasoning_content
+                        if os.environ.get("VLLM_RS_TPU_STREAM_AS_REASONING_CONTENT"):
+                            await send(
+                                openai_chunk(rid, model, reasoning_content=payload)
+                            )
+                            continue
                         await send(openai_chunk(rid, model, content=payload))
                     elif kind == "reasoning":
                         reasoning_tokens += 1

@@ -12,8 +12,17 @@ Pure host-side string processing — one instance per streamed request.
 from __future__ import annotations
 
 import json
+import os
+import time
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
+
+# reference VLLM_RS_TOOL_BUFFER_TIMEOUT_SECS (server.rs:367-372): a tool
+# start marker without its end within this window flushes as plain content
+# so a malformed generation cannot stall the stream
+_TOOL_BUFFER_TIMEOUT = float(
+    os.environ.get("VLLM_RS_TPU_TOOL_BUFFER_TIMEOUT_SECS", "30") or 30
+)
 
 
 @dataclass(frozen=True)
@@ -52,6 +61,7 @@ class StreamParser:
         self.state = self.THINK if in_think else self.NORMAL
         self.buf = ""
         self.tool_calls: List[ToolCall] = []
+        self._tool_since: Optional[float] = None
 
     # -- helpers -------------------------------------------------------------
 
@@ -71,6 +81,15 @@ class StreamParser:
     def push(self, text: str) -> List[Event]:
         self.buf += text
         events: List[Event] = []
+        if (
+            self.state == self.TOOL
+            and self._tool_since is not None
+            and time.time() - self._tool_since > _TOOL_BUFFER_TIMEOUT
+        ):
+            events.append(("content", self.cfg.tool_start + self.buf))
+            self.buf = ""
+            self.state = self.NORMAL
+            self._tool_since = None
         progress = True
         while progress:
             progress = False
@@ -85,6 +104,8 @@ class StreamParser:
                             events.append(("content", self.buf[:idx]))
                         self.buf = self.buf[idx + len(marker):]
                         self.state = next_state
+                        if next_state == self.TOOL:
+                            self._tool_since = time.time()
                         progress = True
                         break
                 if not progress:

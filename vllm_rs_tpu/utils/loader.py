@@ -878,12 +878,23 @@ def load_params(
     dense_fn = _mla_dense_layer if is_mla else _dense_layer
     moe_fn = _mla_moe_layer if is_mla else _moe_layer
 
-    if is_moe:
-        if Ld:
-            params["dense_layers"] = _stack([dense_fn(ld, i) for i in range(Ld)])
-        params["moe_layers"] = _stack([moe_fn(ld, i) for i in range(Ld, L)])
-    else:
-        params["layers"] = _stack([dense_fn(ld, i) for i in range(L)])
+    from vllm_rs_tpu.utils.progress import ProgressBar
+
+    with ProgressBar(L, "loading layers") as pb:
+
+        def _layers(fn, lo, hi):
+            out = []
+            for i in range(lo, hi):
+                out.append(fn(ld, i))
+                pb.step()
+            return _stack(out)
+
+        if is_moe:
+            if Ld:
+                params["dense_layers"] = _layers(dense_fn, 0, Ld)
+            params["moe_layers"] = _layers(moe_fn, Ld, L)
+        else:
+            params["layers"] = _layers(dense_fn, 0, L)
 
     if not cfg.tie_word_embeddings:
         head = st.get("lm_head.weight").astype(dtype).T
