@@ -49,7 +49,7 @@ def build(size: str):
         # ~70ms RTT; on directly-attached hosts the sync cost is ~us)
         sched = SchedulerConfig(
             max_num_seqs=8, chunk_size=1024, max_model_len=2048,
-            multi_step_decode=32,
+            multi_step_decode=64,
         )
         quant = "int4"
     else:
@@ -114,8 +114,8 @@ def main():
         return n_out, decode_time, (t_first - t0 if t_first else 0.0)
 
     # warmup (compilation of prefill + decode buckets incl. the full
-    # multi-step program: 33 = 1 + 32 so the k=32 executable compiles here)
-    run_once(33)
+    # multi-step program: 65 = 1 + 64 so the k=64 executable compiles here)
+    run_once(65)
     n_out, decode_time, ttft = run_once(args.decode_tokens)
     decode_tps = (n_out - 1) / decode_time if decode_time > 0 else 0.0
 

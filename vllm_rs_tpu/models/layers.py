@@ -179,17 +179,19 @@ def attention_block_deferred(
     lp: dict,
     h: jax.Array,  # [B, 1, D]
     meta: AttnMeta,
-    kv_l: jax.Array,  # read-only [2, S, Hk*Dh]
+    kv_l: jax.Array,  # read-only [2, S, Hk*Dh]; or full pool w/ layer_idx
     config: ModelConfig,
     *,
     block_size: int,
     scale: float,
     sliding_window: int = 0,
     attn_backend: str = "auto",
+    layer_idx=None,
 ):
     """Decode attention with deferred KV write: the per-layer cache is only
     READ here; the new token's K/V returns to the caller for one post-scan
-    scatter. Returns (attn_out, k_new [B,1,Hk,Dh], v_new)."""
+    scatter. Returns (attn_out, k_new [B,1,Hk,Dh], v_new). With
+    `layer_idx`, `kv_l` is the full pool (pooled mode — no slice copies)."""
     from vllm_rs_tpu.ops.attention import paged_attention_deferred
 
     B, T, _ = h.shape
@@ -199,6 +201,7 @@ def attention_block_deferred(
         block_size=block_size, scale=scale,
         logit_softcap=config.attn_logit_softcap,
         sliding_window=sliding_window, backend=attn_backend,
+        layer_idx=layer_idx,
     )
     o = linear(lp["o"], out.reshape(B, T, -1))
     return o, k, v

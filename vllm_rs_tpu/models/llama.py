@@ -221,13 +221,17 @@ class CausalLM:
             from vllm_rs_tpu.ops.attention import scatter_deferred_kv
 
             def layer_fn(h, xs):
-                lp, kv_l = xs
+                lp, li = xs
                 attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
                 window = lp.get("window", cfg.sliding_window)
+                # pooled mode: the kernel indexes layer li inside the full
+                # pool — scanning kv as xs forced a 32 MB slice copy per
+                # layer into the pallas operand (attn_lab2.py)
                 attn_out, k_new, v_new = attention_block_deferred(
-                    lp, attn_in, meta, kv_l, cfg,
+                    lp, attn_in, meta, kv, cfg,
                     block_size=self.block_size, scale=self.scale,
                     sliding_window=window, attn_backend=self.attn_backend,
+                    layer_idx=li,
                 )
                 # gemma sandwich: post-attn norm applies BEFORE the residual
                 # add; mlp input comes from its own pre-norm (gemma3)
@@ -251,7 +255,10 @@ class CausalLM:
                 B = h.shape[0]
                 return h, (k_new.reshape(B, -1), v_new.reshape(B, -1))
 
-            h, (k_news, v_news) = jax.lax.scan(layer_fn, h, (params["layers"], kv))
+            L = cfg.num_hidden_layers
+            h, (k_news, v_news) = jax.lax.scan(
+                layer_fn, h, (params["layers"], jnp.arange(L, dtype=jnp.int32))
+            )
             kv = scatter_deferred_kv(kv, k_news, v_news, meta.slot_mapping)
             return kv, h
 

@@ -101,7 +101,7 @@ def paged_attention_deferred(
     q: jax.Array,  # [B, 1, Hq, D]
     k_new: jax.Array,  # [B, 1, Hk, D]
     v_new: jax.Array,
-    kv_l: KVLayer,
+    kv_l: KVLayer,  # per-layer [2, S, F]; or with layer_idx: full [L, 2, S, F]
     meta: AttnMeta,
     *,
     block_size: int,
@@ -109,12 +109,18 @@ def paged_attention_deferred(
     logit_softcap: float = 0.0,
     sliding_window=0,
     backend: str = "auto",
+    layer_idx=None,
 ) -> jax.Array:
     """Decode attention WITHOUT writing the cache (deferred-write path):
     the kernel reads pages covering [0, pos) and folds the current token's
     K/V in as a self term; the caller scatters all layers' new KV into the
     pool once, after the layer scan — removing the per-layer cache rewrite
-    that lax.scan ys forces (measured ~25% of the 8B decode step)."""
+    that lax.scan ys forces (measured ~25% of the 8B decode step).
+
+    With `layer_idx`, `kv_l` is the FULL pool [L, 2, S, F] and the kernel
+    indexes its layer internally (pooled mode) — slicing kv[i] into a
+    pallas operand forces a 32 MB copy per layer (attn_lab2.py: 113
+    us/layer, ~3.6 ms/step on the 8B)."""
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "reference"
     if backend == "pallas" and q.shape[-1] % 128 == 0 and not is_quantized_kv(kv_l):
@@ -122,12 +128,21 @@ def paged_attention_deferred(
             paged_attention_decode_pallas,
         )
 
+        if layer_idx is not None:
+            return paged_attention_decode_pallas(
+                q, kv_l, kv_l, meta,
+                block_size=block_size, scale=scale,
+                logit_softcap=logit_softcap, sliding_window=sliding_window,
+                k_self=k_new, v_self=v_new, layer_idx=layer_idx,
+            )
         return paged_attention_decode_pallas(
             q, kv_l[0], kv_l[1], meta,
             block_size=block_size, scale=scale,
             logit_softcap=logit_softcap, sliding_window=sliding_window,
             k_self=k_new, v_self=v_new,
         )
+    if layer_idx is not None:  # reference path: take the layer slice
+        kv_l = jax.lax.dynamic_index_in_dim(kv_l, layer_idx, 0, keepdims=False)
     # reference: write into a throwaway copy and attend normally
     kv_tmp = write_kv_layer(kv_l, k_new, v_new, meta.slot_mapping)
     Hk = k_new.shape[2]

@@ -194,6 +194,7 @@ def _decode_kernel(
     static_argnames=(
         "block_size", "scale", "logit_softcap",
         "pages_per_step", "interpret", "with_self", "kv_int8",
+        "slots_per_layer",
     ),
 )
 def _decode_call(
@@ -207,6 +208,7 @@ def _decode_call(
     v_self=None,
     k_scales=None,  # [S, Hk] f32 (int8 KV)
     v_scales=None,
+    layer_idx=None,  # traced int32 scalar: pooled mode (see below)
     *,
     block_size: int,
     scale: float,
@@ -215,26 +217,56 @@ def _decode_call(
     interpret: bool,
     with_self: bool = False,
     kv_int8: bool = False,
+    slots_per_layer: int = 0,
 ):
     B, Hk, G, D = q.shape
     MB = block_tables.shape[1]
     P = pages_per_step
     num_steps = -(-MB // P)
 
-    def page_index(t):
+    # Pre-clamp the page walk IN-GRAPH (walk[b, p] = bt[b, min(p, last)]):
+    # the index map becomes a single scalar load. Clamp math inside the
+    # index map runs on the sparse core once per (grid step x ref) — at
+    # grid (B, MB/P) x 2P refs it dominated short-context decode, and made
+    # cost scale with the table width instead of the context (attn_lab.py:
+    # MB=128 ctx=376 went 123 -> 33 us/layer). Clamped repeats are elided
+    # by the pipeline, so dead pages cost nothing. The tiny gather is
+    # loop-invariant across the layer scan (CSE'd by XLA).
+    last = jnp.maximum(context_lens - 1, 0) // block_size
+    pages = jnp.minimum(
+        jax.lax.broadcasted_iota(jnp.int32, (B, MB), 1), last[:, None]
+    )
+    walk = jnp.take_along_axis(block_tables, pages, axis=1)
+
+    # Pooled mode: k_cache IS the whole [L*2*S, F] pool and the layer
+    # offset folds into the walk table — the kernel reads its layer's
+    # pages directly from the pool. This removes the per-layer 32 MB
+    # slice copy that feeding kv[i] to a pallas operand forces (attn_lab2:
+    # the copy was 113 us/layer, 3.6 ms/step on the 8B — the kernel
+    # itself costs ~30 us/layer).
+    if layer_idx is not None:
+        sp = slots_per_layer // block_size
+        walk = jnp.stack(
+            [walk + (2 * layer_idx) * sp, walk + (2 * layer_idx + 1) * sp]
+        )  # [2, B, MB]: K plane, V plane
+    else:
+        walk = jnp.stack([walk, walk])
+
+    def page_index(plane, t):
         def idx(b, j, bt_ref, cl_ref, sw_ref):
-            ctx = cl_ref[b]
-            last = jnp.maximum(ctx - 1, 0) // block_size
-            page = jnp.minimum(j * P + t, last)
-            return bt_ref[b, page], 0
+            return bt_ref[plane, b, j * P + t], 0
 
         return idx
 
-    kv_specs = [
-        pl.BlockSpec((block_size, Hk * D), page_index(t)) for t in range(P)
+    k_specs = [
+        pl.BlockSpec((block_size, Hk * D), page_index(0, t)) for t in range(P)
+    ]
+    v_specs = [
+        pl.BlockSpec((block_size, Hk * D), page_index(1, t)) for t in range(P)
     ]
     sc_specs = (
-        [pl.BlockSpec((block_size, Hk), page_index(t)) for t in range(P)] * 2
+        [pl.BlockSpec((block_size, Hk), page_index(0, t)) for t in range(P)]
+        + [pl.BlockSpec((block_size, Hk), page_index(1, t)) for t in range(P)]
         if kv_int8
         else []
     )
@@ -249,8 +281,8 @@ def _decode_call(
         in_specs=[
             pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl, sw: (b, 0, 0, 0)),
             *self_specs,
-            *kv_specs,
-            *kv_specs,
+            *k_specs,
+            *v_specs,
             *sc_specs,
         ],
         out_specs=pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl, sw: (b, 0, 0, 0)),
@@ -281,7 +313,7 @@ def _decode_call(
         ),
         interpret=interpret,
     )(
-        block_tables,
+        walk,
         context_lens,
         window,
         q,
@@ -333,7 +365,7 @@ def paged_attention_pallas(
 
 def paged_attention_decode_pallas(
     q: jax.Array,  # [B, 1, Hq, D]
-    k_cache: jax.Array,  # [S, Hk*D]
+    k_cache: jax.Array,  # [S, Hk*D]; pooled mode: [L, 2, S, Hk*D] with layer_idx
     v_cache: jax.Array,
     meta: AttnMeta,
     *,
@@ -347,12 +379,22 @@ def paged_attention_decode_pallas(
     v_self: Optional[jax.Array] = None,
     k_scales: Optional[jax.Array] = None,  # [S, Hk] (int8 cache)
     v_scales: Optional[jax.Array] = None,
+    layer_idx: Optional[jax.Array] = None,  # pooled mode (traced scalar)
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, Hq, D = q.shape
     assert T == 1, "decode kernel handles single-token queries"
-    S, HkD = k_cache.shape
+    slots_per_layer = 0
+    if layer_idx is not None:
+        # pooled mode: k_cache is the full [L, 2, S, F] pool; flatten to
+        # [L*2*S, F] (a free reshape) and fold the layer offset into the
+        # page walk so no per-layer slice ever materializes
+        L, two, S, HkD = k_cache.shape
+        slots_per_layer = S
+        k_cache = v_cache = k_cache.reshape(L * two * S, HkD)
+    else:
+        S, HkD = k_cache.shape
     Hk = HkD // D
     G = Hq // Hk
     MB = meta.block_tables.shape[1]
@@ -378,6 +420,7 @@ def paged_attention_decode_pallas(
         v_self.reshape(B, 1, Hk * D) if with_self else None,
         k_scales,
         v_scales,
+        layer_idx,
         block_size=block_size,
         scale=float(scale),
         logit_softcap=float(logit_softcap),
@@ -385,5 +428,6 @@ def paged_attention_decode_pallas(
         interpret=bool(interpret),
         with_self=with_self,
         kv_int8=k_scales is not None,
+        slots_per_layer=slots_per_layer,
     )
     return out.reshape(B, 1, Hq, D)
