@@ -89,3 +89,38 @@ def test_decode_padding_rows_dont_crash():
         rtol=3e-2, atol=3e-2,
     )
     assert np.isfinite(np.asarray(got, np.float32)[:1]).all()
+
+
+def test_decode_pooled_mode_matches_per_layer():
+    """Pooled mode (full [L,2,S,F] pool + traced layer_idx) must equal the
+    per-layer two-array call for every layer."""
+    B, Hq, Hk, D, bs, MB, L = 2, 8, 4, 128, 16, 4, 3
+    rs = np.random.RandomState(3)
+    S = bs * (B * MB + 1)
+    pool = jnp.asarray(rs.randn(L, 2, S, Hk * D), jnp.float32).astype(jnp.bfloat16)
+    q = jnp.asarray(rs.randn(B, 1, Hq, D), jnp.float32).astype(jnp.bfloat16)
+    ks = jnp.asarray(rs.randn(B, 1, Hk, D), jnp.float32).astype(jnp.bfloat16)
+    vs = jnp.asarray(rs.randn(B, 1, Hk, D), jnp.float32).astype(jnp.bfloat16)
+    ctx = np.asarray([17, 49], np.int32)
+    bt = np.arange(B * MB, dtype=np.int32).reshape(B, MB) + 1
+    meta = AttnMeta(
+        positions=jnp.asarray((ctx - 1).reshape(B, 1)),
+        slot_mapping=jnp.full((B, 1), S, jnp.int32),
+        block_tables=jnp.asarray(bt),
+        context_lens=jnp.asarray(ctx),
+        last_token_idx=jnp.zeros((B,), jnp.int32),
+    )
+    for li in range(L):
+        pooled = paged_attention_decode_pallas(
+            q, pool, pool, meta, block_size=bs, scale=0.09,
+            k_self=ks, v_self=vs,
+            layer_idx=jnp.asarray(li, jnp.int32), interpret=True,
+        )
+        per_layer = paged_attention_decode_pallas(
+            q, pool[li, 0], pool[li, 1], meta, block_size=bs, scale=0.09,
+            k_self=ks, v_self=vs, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pooled, np.float32), np.asarray(per_layer, np.float32),
+            rtol=1e-5, atol=1e-5, err_msg=f"layer {li}",
+        )
