@@ -138,7 +138,11 @@ def _pick_tiles(M: int, K_steps: int, N: int, group_rows: int):
             BN = d
             break
     BK = 0
+    # Mosaic requires the trailing block dims to divide (8, 128) or equal
+    # the array dims — sub-128 BK is only legal when BK == K_steps
     for cand in (2048, 1024, 512, 256, 128, 64, 32):
+        if cand < 128 and cand != K_steps:
+            continue
         if K_steps % cand or cand % group_rows:
             continue
         n_g = cand // group_rows
@@ -516,7 +520,7 @@ def _int8_matmul_a8_xla(x, qweight, scales):
     return (acc.astype(jnp.float32) * scales[0][None, :] * xs).astype(jnp.bfloat16)
 
 
-def _supported(qt: AnyQuantTensor, M: int) -> bool:
+def _supported(qt: AnyQuantTensor, M: int, a8: bool) -> bool:
     K, N = qt.shape
     G = qt.group_size
     if N % 128 != 0 or K % 64 != 0:
@@ -525,7 +529,14 @@ def _supported(qt: AnyQuantTensor, M: int) -> bool:
         return False  # the split halves must each be group-aligned
     steps = K // 2 if isinstance(qt, PackedInt4Tensor) else K
     _, BK, _ = _pick_tiles(M, steps, N, G)
-    return BK > 0
+    if BK == 0:
+        return False
+    if BK < 128 and isinstance(qt, PackedInt4Tensor) and not a8:
+        # the a16 int4 kernel blocks x at half-K width (two half-K specs);
+        # Mosaic only allows sub-128 blocks equal to the array dim, which
+        # holds for the a8 path's pre-interleaved [M, 2*BKp] x but not here
+        return False
+    return True
 
 
 def quant_matmul_pallas(
@@ -537,11 +548,11 @@ def quant_matmul_pallas(
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K).astype(jnp.bfloat16)
-    if not _supported(qt, x2.shape[0]):
+    use_a8 = x2.shape[0] <= A8_MAX_ROWS and not interpret
+    if not _supported(qt, x2.shape[0], use_a8):
         from vllm_rs_tpu.ops.quant_matmul import quant_matmul_reference
 
         return quant_matmul_reference(x, qt)
-    use_a8 = x2.shape[0] <= A8_MAX_ROWS and not interpret
     if isinstance(qt, PackedInt4Tensor):
         if use_a8:
             y = _int4_matmul_a8(x2, qt.qweight, qt.scales, qt.zeros, interpret=interpret)
