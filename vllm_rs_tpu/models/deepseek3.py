@@ -100,16 +100,14 @@ class DeepseekV3(MoECausalLM):
     # attention
     # ------------------------------------------------------------------
 
-    def attention(self, lp: dict, attn_in: jax.Array, meta: AttnMeta, kv_l: jax.Array):
-        """MLA forward (mla_attention.rs:270-460): q (LoRA or direct) →
-        split nope/pe → kv_a → (ckv, k_pe) → rope pe dims → cache write →
-        absorbed paged attention → o proj."""
+    def _mla_qkv(self, lp: dict, attn_in: jax.Array, meta: AttnMeta):
+        """Shared projection head: q (LoRA or direct) split nope/pe, kv_a
+        → (ckv normed, k_pe roped)."""
         cfg = self.config
-        B, T, D = attn_in.shape
+        B, T, _ = attn_in.shape
         H = cfg.num_attention_heads
-        dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+        dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
         R = cfg.kv_lora_rank
-
         if "q_a" in lp:
             q = linear(lp["q_a"], attn_in)
             q = rms_norm(q, lp["q_a_norm"], cfg.rms_norm_eps)
@@ -118,14 +116,20 @@ class DeepseekV3(MoECausalLM):
             q = linear(lp["q"], attn_in)
         q = q.reshape(B, T, H, dn + dr)
         q_nope, q_pe = q[..., :dn], q[..., dn:]
-
         kv_a = linear(lp["kv_a"], attn_in)  # [B, T, R+dr]
         ckv = rms_norm(kv_a[..., :R], lp["kv_a_norm"], cfg.rms_norm_eps)
         k_pe = kv_a[..., R:][:, :, None, :]  # [B, T, 1, dr]
-
         q_pe, k_pe = apply_rope(q_pe, k_pe, meta.positions, lp["inv_freq"], dr)
+        return q_nope, q_pe, ckv, k_pe[:, :, 0, :]
 
-        kv_l = write_mla_cache(kv_l, ckv, k_pe[:, :, 0, :], meta.slot_mapping)
+    def attention(self, lp: dict, attn_in: jax.Array, meta: AttnMeta, kv_l: jax.Array):
+        """MLA forward (mla_attention.rs:270-460): projections → cache
+        write → absorbed paged attention → o proj."""
+        cfg = self.config
+        B, T, _ = attn_in.shape
+        H, dv = cfg.num_attention_heads, cfg.v_head_dim
+        q_nope, q_pe, ckv, k_pe = self._mla_qkv(lp, attn_in, meta)
+        kv_l = write_mla_cache(kv_l, ckv, k_pe, meta.slot_mapping)
         out = mla_paged_attention(
             q_nope,
             q_pe,
@@ -135,7 +139,72 @@ class DeepseekV3(MoECausalLM):
             meta,
             block_size=self.block_size,
             scale=self.scale,
-            kv_lora_rank=R,
+            kv_lora_rank=cfg.kv_lora_rank,
         )
         o = linear(lp["o"], out.reshape(B, T, H * dv))
         return o, kv_l
+
+    # ------------------------------------------------------------------
+    # deferred-write decode (pooled): the MLA analog of MoECausalLM's
+    # deferred branch — the latent pool is read-only inside the scans (no
+    # per-layer slice copy, no scan-ys pool rewrite), one scatter at the
+    # end installs every layer's latent row
+    # ------------------------------------------------------------------
+
+    def forward(self, params: dict, token_ids: jax.Array, meta: AttnMeta, kv: jax.Array):
+        cfg = self.config
+        if token_ids.shape[1] != 1:
+            return super().forward(params, token_ids, meta, kv)
+        from vllm_rs_tpu.models.layers import mlp
+        from vllm_rs_tpu.ops.mla import (
+            mla_paged_attention_deferred,
+            scatter_deferred_mla,
+        )
+
+        Ld = cfg.first_k_dense_replace
+        L = cfg.num_hidden_layers
+        H, dv = cfg.num_attention_heads, cfg.v_head_dim
+        h = params["embed"][token_ids].astype(jnp.bfloat16)
+        B = h.shape[0]
+
+        def dblock(h, lp, li, mlp_out_fn):
+            attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
+            q_nope, q_pe, ckv, k_pe = self._mla_qkv(lp, attn_in, meta)
+            out = mla_paged_attention_deferred(
+                q_nope, q_pe, ckv, k_pe, kv, li,
+                lp["w_uk"], lp["w_uv"], meta,
+                block_size=self.block_size, scale=self.scale,
+                kv_lora_rank=cfg.kv_lora_rank,
+            )
+            h = h + linear(lp["o"], out.reshape(B, 1, H * dv))
+            mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
+            h = h + mlp_out_fn(lp, mlp_in)
+            row = jnp.concatenate([ckv[:, 0, :], k_pe[:, 0, :]], axis=-1)
+            return h, row  # [B, R+dr]
+
+        rows = []
+        if Ld:
+            h, r_dense = jax.lax.scan(
+                lambda h, xs: dblock(
+                    h, xs[0], xs[1],
+                    lambda lp, x: mlp(
+                        {"gate": lp["gate"], "up": lp["up"], "down": lp["down"]},
+                        x, cfg.hidden_act,
+                    ),
+                ),
+                h,
+                (params["dense_layers"], jnp.arange(Ld, dtype=jnp.int32)),
+            )
+            rows.append(r_dense)
+        h, r_moe = jax.lax.scan(
+            lambda h, xs: dblock(
+                h, xs[0], xs[1], lambda lp, x: self._moe_block(lp, x)
+            ),
+            h,
+            (params["moe_layers"], jnp.arange(Ld, L, dtype=jnp.int32)),
+        )
+        rows.append(r_moe)
+        kv = scatter_deferred_mla(
+            kv, jnp.concatenate(rows, axis=0), meta.slot_mapping
+        )
+        return kv, h

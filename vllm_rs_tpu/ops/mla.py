@@ -43,6 +43,94 @@ def write_mla_cache(
     return cache.at[slot_mapping.reshape(-1)].set(row.astype(cache.dtype), mode="drop")
 
 
+def mla_paged_attention_deferred(
+    q_nope: jax.Array,  # [B, 1, H, dn]
+    q_pe: jax.Array,  # [B, 1, H, dr] (rope applied)
+    ckv_new: jax.Array,  # [B, 1, R] current token latent (normed)
+    kpe_new: jax.Array,  # [B, 1, P] current token rope key
+    pool: jax.Array,  # [L, S, R+P] FULL latent pool (read-only)
+    layer_idx: jax.Array,  # traced int32
+    w_uk: jax.Array,  # [H, dn, R]
+    w_uv: jax.Array,  # [H, R, dv]
+    meta: AttnMeta,
+    *,
+    block_size: int,
+    scale: float,
+    kv_lora_rank: int,
+) -> jax.Array:
+    """Deferred-write absorbed MLA decode: pages cover [0, pos); the
+    current token's latent folds in as one extra attention column, and the
+    caller scatters all layers' latents once after the layer scan (the MLA
+    analog of ops/attention.paged_attention_deferred — avoids both the
+    per-layer pool slice copy and the scan-ys pool rewrite)."""
+    B, T, H, dn = q_nope.shape
+    R = kv_lora_rank
+    L, S, F = pool.shape
+    num_blocks = S // block_size
+
+    # layer-offset page gather from the flat pool — no [S, F] slice ever
+    # materializes, only the gathered pages
+    paged = pool.reshape(L * num_blocks, block_size, F)
+    MB = meta.block_tables.shape[1]
+    ctx = meta.context_lens - 1  # pages cover [0, pos)
+    # clamp the walk so dead pages repeat (cheap gather, masked anyway)
+    last = jnp.maximum(ctx - 1, 0) // block_size
+    pages_idx = jnp.minimum(
+        jax.lax.broadcasted_iota(jnp.int32, (B, MB), 1), last[:, None]
+    )
+    walk = jnp.take_along_axis(meta.block_tables, pages_idx, axis=1)
+    pages = paged[walk + layer_idx * num_blocks]  # [B, MB, bs, F]
+    C = MB * block_size
+    pages = pages.reshape(B, C, F)
+    # append the current token as one extra column
+    self_col = jnp.concatenate([ckv_new, kpe_new], axis=-1)  # [B, 1, F]
+    pages = jnp.concatenate([pages, self_col.astype(pages.dtype)], axis=1)
+    ckv = pages[..., :R].astype(jnp.float32)  # [B, C+1, R]
+    kpe = pages[..., R:].astype(jnp.float32)
+
+    q_lat = jnp.einsum(
+        "bthd,hdr->bthr",
+        q_nope.astype(jnp.float32), w_uk.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    scores = (
+        jnp.einsum("bthr,bcr->bhtc", q_lat, ckv, preferred_element_type=jnp.float32)
+        + jnp.einsum(
+            "bthp,bcp->bhtc", q_pe.astype(jnp.float32), kpe,
+            preferred_element_type=jnp.float32,
+        )
+    ) * scale
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, C + 1), 3)
+    mask = (kpos < ctx[:, None, None, None]) | (kpos == C)  # pages + self
+    scores = jnp.where(mask, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out_lat = jnp.einsum("bhtc,bcr->bthr", probs, ckv, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "bthr,hrv->bthv", out_lat, w_uv.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q_nope.dtype)
+
+
+def scatter_deferred_mla(
+    pool: jax.Array,  # [L, S, F]
+    rows: jax.Array,  # [L, B, F] per-layer latent rows
+    slot_mapping: jax.Array,  # [B, 1] int32, pad == S
+) -> jax.Array:
+    """One flat scatter installing every layer's deferred latent row."""
+    L, S, F = pool.shape
+    slots = slot_mapping.reshape(-1)
+    B = slots.shape[0]
+    flat = pool.reshape(L * S, F)
+    l_idx = jnp.arange(L, dtype=jnp.int32)[:, None]
+    valid = slots[None, :] < S
+    idx = jnp.where(valid, l_idx * S + slots[None, :], L * S)
+    flat = flat.at[idx.reshape(-1)].set(
+        rows.reshape(L * B, F).astype(flat.dtype), mode="drop"
+    )
+    return flat.reshape(L, S, F)
+
+
 def mla_paged_attention(
     q_nope: jax.Array,  # [B, T, H, dn]
     q_pe: jax.Array,  # [B, T, H, dr] (rope already applied)
