@@ -291,22 +291,44 @@ class Qwen3NextForCausalLM(CausalLM):
         kv = caches["kv"]
         conv_st = caches["conv"]
         rec_st = caches["rec"]
+        # deferred-write decode for the full-attention layers: pooled-mode
+        # kernel reads the [Lf, 2, S, F] pool in place, new K/V scatter
+        # once after the loop (no per-layer pool slice/rewrite — see
+        # PERF_NOTES.md finding #3)
+        deferred = token_ids.shape[1] == 1 and isinstance(kv, jax.Array)
+        kv_news = [] if deferred else None
         kv_layers = []
         fi = gi = 0
         for lp, t in zip(params["layers"], self.layer_types):
             attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
             if t == "full":
-                attn_out, kv_l = attention_block(
-                    lp, attn_in, meta, kv[fi], cfg,
-                    block_size=self.block_size, scale=self.scale,
-                    sliding_window=cfg.sliding_window, attn_backend=self.attn_backend,
-                )
+                if deferred:
+                    from vllm_rs_tpu.models.layers import attention_block_deferred
+
+                    B = h.shape[0]
+                    attn_out, k_new, v_new = attention_block_deferred(
+                        lp, attn_in, meta, kv, cfg,
+                        block_size=self.block_size, scale=self.scale,
+                        sliding_window=cfg.sliding_window,
+                        attn_backend=self.attn_backend,
+                        layer_idx=jnp.asarray(fi, jnp.int32),
+                    )
+                    kv_news.append(
+                        (k_new.reshape(B, -1), v_new.reshape(B, -1))
+                    )
+                else:
+                    attn_out, kv_l = attention_block(
+                        lp, attn_in, meta, kv[fi], cfg,
+                        block_size=self.block_size, scale=self.scale,
+                        sliding_window=cfg.sliding_window,
+                        attn_backend=self.attn_backend,
+                    )
+                    kv_layers.append(kv_l)
                 if "attn_gate" in lp:  # gated attention (qwen3_5.rs:683-701)
                     gate = jax.nn.sigmoid(
                         linear(lp["attn_gate"], attn_in).astype(jnp.float32)
                     )
                     attn_out = (attn_out.astype(jnp.float32) * gate).astype(attn_out.dtype)
-                kv_layers.append(kv_l)
                 fi += 1
             else:
                 attn_out, conv_l, rec_l = self._gdn_layer(
@@ -323,8 +345,17 @@ class Qwen3NextForCausalLM(CausalLM):
                 h = h + moe_block(lp, mlp_in, cfg, self.router_cfg)
             else:
                 h = h + mlp(lp, mlp_in, cfg.hidden_act)
+        if deferred and kv_news:
+            from vllm_rs_tpu.ops.attention import scatter_deferred_kv
+
+            k_news = jnp.stack([k for k, _ in kv_news])  # [Lf, B, F]
+            v_news = jnp.stack([v for _, v in kv_news])
+            kv = scatter_deferred_kv(kv, k_news, v_news, meta.slot_mapping)
+            new_kv = kv
+        else:
+            new_kv = jnp.stack(kv_layers) if kv_layers else kv
         new_caches = {
-            "kv": jnp.stack(kv_layers) if kv_layers else kv,
+            "kv": new_kv,
             "conv": conv_st,
             "rec": rec_st,
         }
