@@ -52,6 +52,54 @@ def build(size: str):
             multi_step_decode=64,
         )
         quant = "int4"
+    elif size == "3b":
+        # Llama-3.2-3B geometry (reference Ministral-3-3B rows, ReadMe.md:33-34)
+        model = ModelConfig(
+            model_type="llama",
+            hidden_size=3072,
+            intermediate_size=8192,
+            num_hidden_layers=28,
+            num_attention_heads=24,
+            num_key_value_heads=8,
+            head_dim=128,
+            vocab_size=128256,
+            max_position_embeddings=8192,
+            rope_theta=500000.0,
+            eos_token_ids=(128001,),
+        )
+        cache = CacheConfig(block_size=16, num_blocks=512)
+        sched = SchedulerConfig(
+            max_num_seqs=8, chunk_size=1024, max_model_len=2048,
+            multi_step_decode=64,
+        )
+        quant = "int4"
+    elif size == "0.6b":
+        # Qwen3-0.6B geometry bf16 (reference batch-256 table,
+        # docs/performance.md:42-47)
+        model = ModelConfig(
+            model_type="qwen3",
+            hidden_size=1024,
+            intermediate_size=3072,
+            num_hidden_layers=28,
+            num_attention_heads=16,
+            num_key_value_heads=8,
+            head_dim=128,
+            vocab_size=151936,
+            max_position_embeddings=32768,
+            rope_theta=1000000.0,
+            qk_norm=True,
+            tie_word_embeddings=True,
+            eos_token_ids=(151645,),
+        )
+        # 4608 blocks = 73k slots keeps 256 full-length streams resident
+        # with headroom (bf16 pool 8.4 GB; the classic prefill scan now
+        # carries the pool, so no program double-allocates it)
+        cache = CacheConfig(block_size=16, num_blocks=4608)
+        sched = SchedulerConfig(
+            max_num_seqs=256, chunk_size=2048, max_model_len=1024,
+            multi_step_decode=16,
+        )
+        quant = None
     else:
         model = ModelConfig(
             model_type="llama",
@@ -79,9 +127,12 @@ def build(size: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="8b", choices=["tiny", "8b"])
+    ap.add_argument("--size", default="8b", choices=["tiny", "0.6b", "3b", "8b"])
     ap.add_argument("--prompt-tokens", type=int, default=128)
     ap.add_argument("--decode-tokens", type=int, default=128)
+    # offline batch throughput (reference `--batch N` bench, main.rs:44-103):
+    # N prompts generated synchronously, tokens / wall
+    ap.add_argument("--batch", type=int, default=0)
     args = ap.parse_args()
 
     import numpy as np
@@ -113,17 +164,69 @@ def main():
         decode_time = t_end - t_first if t_first else t_end - t0
         return n_out, decode_time, (t_first - t0 if t_first else 0.0)
 
+    if args.batch:
+        # offline batch mode: strict prefill-first (the reference's --batch
+        # bench admits everything before decoding) — interleaving decode
+        # into the admission ramp runs decode at fractional batch sizes
+        import dataclasses as _dc
+
+        engine.econfig = _dc.replace(
+            engine.econfig,
+            scheduler=_dc.replace(
+                engine.econfig.scheduler, max_consecutive_prefills=10_000
+            ),
+        )
+        engine.scheduler.config = engine.econfig.scheduler
+        sp = SamplingParams(
+            temperature=0.0, max_tokens=args.decode_tokens, ignore_eos=True
+        )
+
+        def batch_once():
+            prompts = [
+                list(rs.randint(1, vocab - 1, size=args.prompt_tokens))
+                for _ in range(args.batch)
+            ]
+            t0 = time.time()
+            outs = engine.generate(prompts, sp)
+            wall = time.time() - t0
+            toks = sum(len(o.output_token_ids) for o in outs)
+            return toks, wall
+
+        batch_once()  # warmup: compiles every bucket along the ramp
+        toks, wall = batch_once()
+        print(
+            json.dumps(
+                {
+                    "metric": f"batch{args.batch}_throughput_{args.size}",
+                    "value": round(toks / wall, 2),
+                    "unit": "tokens/s/chip",
+                    # reference A100 batch-256 Qwen3-0.6B bf16:
+                    # 10977.55 tok/s (docs/performance.md:46)
+                    "vs_baseline": round(toks / wall / 10977.55, 4),
+                    "decode_tokens": toks,
+                    "wall_s": round(wall, 1),
+                    "size": args.size,
+                }
+            )
+        )
+        return
+
     # warmup (compilation of prefill + decode buckets incl. the full
-    # multi-step program: 65 = 1 + 64 so the k=64 executable compiles here)
-    run_once(65)
+    # multi-step program: k+1 so the deepest executable compiles here)
+    k = engine.econfig.scheduler.multi_step_decode
+    run_once(k + 1)
     n_out, decode_time, ttft = run_once(args.decode_tokens)
     decode_tps = (n_out - 1) / decode_time if decode_time > 0 else 0.0
 
-    baseline = 120.74  # reference: Llama-3.1-8B ISQ-Q4K on A100 (BASELINE.md)
+    # reference A100 rows (BASELINE.md): 8B ISQ-Q4K 120.74; 3B rows are
+    # Ministral-3-3B 118.49 bf16 / 171.92 ISQ-Q4K
+    baselines = {"8b": 120.74, "3b": 171.92}
+    baseline = baselines.get(args.size, 120.74)
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_sec_batch1_8b_int4",
+                "metric": f"decode_tokens_per_sec_batch1_{args.size}"
+                + ("_int4" if engine.econfig.quant else "_bf16"),
                 "value": round(decode_tps, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(decode_tps / baseline, 4),

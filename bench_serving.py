@@ -24,7 +24,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="8b", choices=["tiny", "8b"])
+    ap.add_argument("--size", default="8b", choices=["tiny", "0.6b", "3b", "8b"])
     ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--prompt-tokens", type=int, default=128)
     ap.add_argument("--decode-tokens", type=int, default=128)
@@ -99,18 +99,25 @@ def main():
         with lock:
             results.append((ttft, itls, n, now - t0))
 
-    t_start = time.perf_counter()
-    threads = [
-        threading.Thread(target=stream_worker, args=(i,)) for i in range(args.streams)
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t_start
+    # two timed passes: the first can still hit fresh executable compiles
+    # (~20-90 s each through the dev tunnel) when the concurrency ramp
+    # crosses bucket shapes the warmup burst missed; report the hot pass
+    for _pass in range(2):
+        results.clear()
+        t_start = time.perf_counter()
+        threads = [
+            threading.Thread(target=stream_worker, args=(i,))
+            for i in range(args.streams)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t_start
     engine.stop_loop()
 
-    ttfts = sorted(r[0] for r in results)
+    dropped = sum(1 for r in results if r[0] is None)
+    ttfts = sorted(r[0] for r in results if r[0] is not None)
     all_itls = sorted(x for r in results for x in r[1])
     total_tokens = sum(r[2] for r in results)
 
@@ -130,6 +137,7 @@ def main():
                 "p50_itl_ms": round(pct(all_itls, 50) * 1e3, 2),
                 "p99_itl_ms": round(pct(all_itls, 99) * 1e3, 2),
                 "total_tokens": total_tokens,
+                "dropped_streams": dropped,
                 "wall_s": round(wall, 1),
             }
         )

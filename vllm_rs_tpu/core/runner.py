@@ -40,6 +40,26 @@ def bucket_of(n: int, buckets: Seq[int]) -> int:
     return buckets[-1]
 
 
+def _dispatch_with_retry(fn, *args, attempts: int = 3, **kw):
+    """Call a jitted function, retrying transient compile-service failures
+    (the dev environment's remote AOT compiler 500s intermittently; a
+    compile failure raises before execution, so inputs — including
+    donated buffers — are still intact and the retry is safe)."""
+    for i in range(attempts):
+        try:
+            return fn(*args, **kw)
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            msg = str(e)
+            transient = "remote_compile" in msg or "INTERNAL" in msg
+            if not transient or i == attempts - 1:
+                raise
+            logger.warning(
+                "transient compile failure (attempt %d/%d): %s",
+                i + 1, attempts, msg.splitlines()[0][:200],
+            )
+            time.sleep(2.0 * (i + 1))
+
+
 class ModelRunner:
     def __init__(
         self,
@@ -69,6 +89,16 @@ class ModelRunner:
             )
         self.vocab_size = econfig.model.vocab_size
         self.num_slots = cache.num_slots
+        # bucket lists must COVER the scheduler's limits — a batch larger
+        # than the top bucket would overflow the fixed-shape descriptors
+        db = list(econfig.decode_buckets)
+        while db[-1] < econfig.scheduler.max_num_seqs:
+            db.append(db[-1] * 2)
+        self.decode_buckets = tuple(db)
+        pb = [1, 2, 4, 8, 16, 32, 64]
+        while pb[-1] < econfig.scheduler.max_num_seqs:
+            pb.append(pb[-1] * 2)
+        self.prefill_row_buckets = tuple(pb)
         self._base_key = jax.random.PRNGKey(econfig.seed)
         self._step_counter = 0
         # one compiled executable per (B, T, needs_filters, needs_penalties)
@@ -187,7 +217,7 @@ class ModelRunner:
     def prepare_prefill(self, batch: ScheduledBatch):
         seqs, chunks = batch.seqs, batch.chunk_sizes
         T = bucket_of(max(chunks), self.econfig.prefill_buckets)
-        B = bucket_of(len(seqs), (1, 2, 4, 8, 16, 32, 64))
+        B = bucket_of(len(seqs), self.prefill_row_buckets)
         token_ids = np.zeros((B, T), dtype=np.int32)
         positions = np.zeros((B, T), dtype=np.int32)
         slots = np.full((B, T), self.num_slots, dtype=np.int32)
@@ -272,7 +302,7 @@ class ModelRunner:
 
     def prepare_decode(self, batch: ScheduledBatch):
         seqs = batch.seqs
-        B = bucket_of(len(seqs), self.econfig.decode_buckets)
+        B = bucket_of(len(seqs), self.decode_buckets)
         token_ids = np.zeros((B, 1), dtype=np.int32)
         positions = np.zeros((B, 1), dtype=np.int32)
         slots = np.full((B, 1), self.num_slots, dtype=np.int32)
@@ -377,7 +407,8 @@ class ModelRunner:
         B = token_ids.shape[0]
         st, needs_filters, needs_penalties, mask = self.prepare_sampling(batch.seqs, B)
         self._step_counter += 1
-        self.kv, tokens, _ = self._jit_step(
+        self.kv, tokens, _ = _dispatch_with_retry(
+            self._jit_step,
             self.params,
             self.kv,
             token_ids,
@@ -471,7 +502,7 @@ class ModelRunner:
         Returns [num_seqs, n_steps] sampled tokens."""
         assert batch.kind == "decode"
         seqs = batch.seqs
-        B = bucket_of(len(seqs), self.econfig.decode_buckets)
+        B = bucket_of(len(seqs), self.decode_buckets)
         MB = self._bt_width(seqs)
         start_tokens = np.zeros((B,), dtype=np.int32)
         start_pos = np.zeros((B,), dtype=np.int32)
@@ -492,7 +523,8 @@ class ModelRunner:
             )
         valid = np.zeros((B,), dtype=bool)
         valid[: len(seqs)] = True
-        self.kv, out = self._jit_multi(
+        self.kv, out = _dispatch_with_retry(
+            self._jit_multi,
             self.params,
             self.kv,
             jnp.asarray(start_tokens),
@@ -548,7 +580,7 @@ class ModelRunner:
         seqs = batch.seqs
         k = max(len(d) for d in drafts)
         T = k + 1
-        B = bucket_of(len(seqs), self.econfig.decode_buckets)
+        B = bucket_of(len(seqs), self.decode_buckets)
         token_ids = np.zeros((B, T), dtype=np.int32)
         positions = np.zeros((B, T), dtype=np.int32)
         slots = np.full((B, T), self.num_slots, dtype=np.int32)

@@ -262,10 +262,26 @@ class CausalLM:
             kv = scatter_deferred_kv(kv, k_news, v_news, meta.slot_mapping)
             return kv, h
 
-        def layer_fn(h, xs):
-            lp, kv_l = xs
+        # classic write-in-scan path (prefill; quantized-KV decode): the
+        # pool rides the scan CARRY with a per-layer dynamic update — as
+        # scan xs/ys it forced a second full-pool allocation (7.9 GB on
+        # the 0.6B serving config: jit(_step_impl) AllocateBuffer OOM)
+        def layer_fn(carry, xs):
+            h, kv = carry
+            lp, li = xs
+            kv_l = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, li, 0, keepdims=False),
+                kv,
+            )
             attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
             attn_out, kv_out = self.attention(lp, attn_in, meta, kv_l)
+            kv = jax.tree_util.tree_map(
+                lambda x, xl: jax.lax.dynamic_update_index_in_dim(
+                    x, xl.astype(x.dtype), li, 0
+                ),
+                kv,
+                kv_out,
+            )
             if cfg.sandwich_norms:
                 attn_out = rms_norm(
                     attn_out, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one
@@ -283,9 +299,12 @@ class CausalLM:
                     mlp_out, lp["post_ffw_ln"], cfg.rms_norm_eps, cfg.norm_plus_one
                 )
             h = h + mlp_out
-            return h, kv_out
+            return (h, kv), None
 
-        h, kv = jax.lax.scan(layer_fn, h, (params["layers"], kv))
+        L = cfg.num_hidden_layers
+        (h, kv), _ = jax.lax.scan(
+            layer_fn, (h, kv), (params["layers"], jnp.arange(L, dtype=jnp.int32))
+        )
         return kv, h
 
     def compute_logits(self, params: dict, hidden: jax.Array, meta: AttnMeta) -> jax.Array:

@@ -202,44 +202,53 @@ class MoECausalLM(CausalLM):
             kv = scatter_deferred_kv(kv, k_news, v_news, meta.slot_mapping)
             return kv, h
 
-        def attn(lp, h, kv_l):
+        # classic path (prefill): the pool rides the scan carry with
+        # per-layer dynamic updates (see CausalLM.forward)
+        def attn(lp, h, kv, li):
+            kv_l = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, li, 0, keepdims=False),
+                kv,
+            )
             attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
             attn_out, kv_out = self.attention(lp, attn_in, meta, kv_l)
-            return h + attn_out, kv_out
+            kv = jax.tree_util.tree_map(
+                lambda x, xl: jax.lax.dynamic_update_index_in_dim(
+                    x, xl.astype(x.dtype), li, 0
+                ),
+                kv,
+                kv_out,
+            )
+            return h + attn_out, kv
 
-        take = lambda lo, hi: jax.tree_util.tree_map(lambda x: x[lo:hi], kv)  # noqa: E731
-        kv_parts = []
         if Ld:
-            def dense_fn(h, xs):
-                lp, kv_l = xs
-                h, kv_out = attn(lp, h, kv_l)
+            def dense_fn(carry, xs):
+                h, kv = carry
+                lp, li = xs
+                h, kv = attn(lp, h, kv, li)
                 mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
                 h = h + mlp(
                     {"gate": lp["gate"], "up": lp["up"], "down": lp["down"]},
                     mlp_in, cfg.hidden_act,
                 )
-                return h, kv_out
+                return (h, kv), None
 
-            h, kv_dense = jax.lax.scan(
-                dense_fn, h, (params["dense_layers"], take(0, Ld))
+            (h, kv), _ = jax.lax.scan(
+                dense_fn, (h, kv),
+                (params["dense_layers"], jnp.arange(Ld, dtype=jnp.int32)),
             )
-            kv_parts.append(kv_dense)
 
-        def moe_fn(h, xs):
-            lp, kv_l = xs
-            h, kv_out = attn(lp, h, kv_l)
+        def moe_fn(carry, xs):
+            h, kv = carry
+            lp, li = xs
+            h, kv = attn(lp, h, kv, li)
             mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
             h = h + self._moe_block(lp, mlp_in)
-            return h, kv_out
+            return (h, kv), None
 
-        h, kv_moe = jax.lax.scan(moe_fn, h, (params["moe_layers"], take(Ld, None)))
-        kv_parts.append(kv_moe)
-        if len(kv_parts) > 1:
-            kv = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a, b], axis=0), kv_parts[0], kv_parts[1]
-            )
-        else:
-            kv = kv_moe
+        (h, kv), _ = jax.lax.scan(
+            moe_fn, (h, kv),
+            (params["moe_layers"], jnp.arange(Ld, L, dtype=jnp.int32)),
+        )
         return kv, h
 
 
