@@ -91,6 +91,33 @@ def test_decode_padding_rows_dont_crash():
     assert np.isfinite(np.asarray(got, np.float32)[:1]).all()
 
 
+@pytest.mark.parametrize("sw", [8, 32, 1])
+def test_decode_deferred_sliding_window(sw):
+    """Deferred self-KV + sliding window must attend exactly sw tokens —
+    the window low bound shifts by one when the self column is folded in
+    separately (regression: the kernel attended sw+1 tokens)."""
+    q, k, v, meta = build_case(seed=7, ctx_lens=[100, 40, 7, 128])
+    kw = dict(block_size=16, scale=0.088, sliding_window=sw)
+    ref = paged_attention_reference(q, k, v, meta, **kw)
+    # extract the current token's own K/V from its cache slot so the
+    # deferred call sees an identical attention problem
+    B = q.shape[0]
+    Hk, D = 4, 128
+    bt = np.asarray(meta.block_tables)
+    ctx = np.asarray(meta.context_lens)
+    slots = np.array(
+        [bt[b, (ctx[b] - 1) // 16] * 16 + (ctx[b] - 1) % 16 for b in range(B)]
+    )
+    ks = jnp.asarray(np.asarray(k)[slots]).reshape(B, 1, Hk, D)
+    vs = jnp.asarray(np.asarray(v)[slots]).reshape(B, 1, Hk, D)
+    got = paged_attention_decode_pallas(
+        q, k, v, meta, interpret=True, k_self=ks, v_self=vs, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
 def test_decode_pooled_mode_matches_per_layer():
     """Pooled mode (full [L,2,S,F] pool + traced layer_idx) must equal the
     per-layer two-array call for every layer."""

@@ -83,6 +83,19 @@ class TestSpecDecode:
         outs = _engine(4).generate([[5, 6, 7, 5, 6]], sp)
         assert len(outs[0].output_token_ids) == 8
 
+    def test_mixed_greedy_sampled_batch_not_speculated(self):
+        """A batch mixing greedy and sampled seqs must NOT speculate: the
+        verifier argmaxes every row, which would hand sampled seqs greedy
+        tokens. Sampled output must be identical with spec on and off."""
+        sp_g = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+        sp_s = SamplingParams(temperature=0.9, seed=7, max_tokens=10, ignore_eos=True)
+        prompts = [[5, 6, 7, 5, 6], [11, 12, 13]]
+        base = _engine(0).generate(prompts, [sp_g, sp_s])
+        spec = _engine(4).generate(prompts, [sp_g, sp_s])
+        assert [o.output_token_ids for o in base] == [
+            o.output_token_ids for o in spec
+        ]
+
     def test_batch_mixed(self):
         e = _engine(4)
         sp_a = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)

@@ -89,6 +89,15 @@ class BlockManager:
             self._unref(b)
         return self.num_free >= needed
 
+    def alloc_blocks(self, n: int) -> Optional[List[int]]:
+        """Allocate n fresh blocks, evicting reclaimable prefix-cache blocks
+        on demand — the public path for swap-in, mirroring allocate_prompt's
+        `_ensure_free` eviction so swapped sequences are not starved while
+        free blocks sit in the prefix cache."""
+        if not self._ensure_free(n):
+            return None
+        return [self._alloc_block() for _ in range(n)]
+
     # -- prompt allocation (reference block_manager.rs:346-442) --------------
 
     def can_allocate(self, seq: Sequence) -> bool:

@@ -216,13 +216,18 @@ class Scheduler:
             return
         from vllm_rs_tpu.utils.spec import propose_prompt_lookup
 
+        # the verifier (_verify_impl) produces pure-argmax tokens for every
+        # row — a mixed batch would hand non-greedy sequences a greedy
+        # "bonus" token, violating sampling semantics and the seeded
+        # determinism contract. Speculate only when ALL rows are greedy.
+        for seq in batch.seqs:
+            sp = seq.sampling_params
+            if not sp.greedy() or seq.guidance is not None or sp.stop:
+                return
         drafts: List[List[int]] = []
         any_draft = False
         for seq in batch.seqs:
             sp = seq.sampling_params
-            if not sp.greedy() or seq.guidance is not None or sp.stop:
-                drafts.append([])
-                continue
             budget = min(
                 sp.max_tokens - len(seq.output_token_ids) - 1,
                 self.config.max_model_len - seq.num_tokens - 1,
@@ -261,10 +266,18 @@ class Scheduler:
         while self.swapped:
             seq = self.swapped[0]
             needed = seq.swapped_num_blocks + 1
-            if self.bm.num_free < needed or len(self.running) >= self.config.max_num_seqs:
+            # num_available (free + reclaimable prefix-cache blocks): the
+            # allocation below evicts cache blocks on demand, so gating on
+            # num_free alone would starve swapped seqs behind the cache
+            if (
+                self.bm.num_available < needed
+                or len(self.running) >= self.config.max_num_seqs
+            ):
+                return
+            blocks = self.bm.alloc_blocks(seq.swapped_num_blocks)
+            if blocks is None:
                 return
             self.swapped.popleft()
-            blocks = [self.bm._alloc_block() for _ in range(seq.swapped_num_blocks)]
             seq.block_table = blocks
             self.swap_backend.swap_in(self._swap_data.pop(seq.seq_id), blocks)
             seq.status = SequenceStatus.RUNNING

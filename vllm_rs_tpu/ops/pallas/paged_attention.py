@@ -78,10 +78,16 @@ def _decode_kernel(
 
     base = j * P * block_size
     sw = sw_ref[0]
+    # first admitted key position under a sliding window. With deferred
+    # self-KV (with_self) ctx excludes the query token itself: the window
+    # [pos-sw+1, pos] then covers only sw-1 POOL positions plus the self
+    # column, so the low bound shifts up by one (without the shift the
+    # kernel attended sw+1 tokens — advisor finding, paged_attention.py:411)
+    sw_lo = ctx - sw + (1 if with_self else 0)
     valid_step = base < ctx
     valid_step = jnp.logical_and(
         valid_step,
-        jnp.logical_or(sw <= 0, base + P * block_size > ctx - sw),
+        jnp.logical_or(sw <= 0, base + P * block_size > sw_lo),
     )
 
     @pl.when(valid_step)
@@ -121,7 +127,7 @@ def _decode_kernel(
         )
         mask = kpos < ctx
         mask = jnp.logical_and(
-            mask, jnp.logical_or(sw <= 0, kpos >= ctx - sw)
+            mask, jnp.logical_or(sw <= 0, kpos >= sw_lo)
         )
         scores = jnp.where(mask, scores, _NEG_INF)
 
