@@ -1,0 +1,157 @@
+"""Stop-string detection + trimming at the engine/detokenizer layer.
+
+The reference detects stop sequences in postprocess (scheduler.rs:500-629)
+over a bounded text tail; here the engine scans incrementally from
+`stop_scan_from` so cost stays O(delta) per token (regression: the scan was
+O(len(text)) per token → quadratic on long outputs).
+"""
+
+import jax
+import pytest
+
+from vllm_rs_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SamplingParams,
+    SchedulerConfig,
+)
+from vllm_rs_tpu.core.engine import LLMEngine, _RequestState
+from vllm_rs_tpu.core.runner import ModelRunner
+from vllm_rs_tpu.models.llama import CausalLM
+from tests.test_server import make_test_tokenizer
+
+
+def _engine():
+    cfg = ModelConfig(
+        model_type="llama",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=128,
+        eos_token_ids=(0,),
+    )
+    ec = EngineConfig(
+        model=cfg,
+        cache=CacheConfig(block_size=4, num_blocks=64),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4, chunk_size=16, max_model_len=96, prefill_buckets=(8, 16)
+        ),
+        prefill_buckets=(8, 16),
+        decode_buckets=(4,),
+    )
+    m = CausalLM(cfg, block_size=4)
+    params = m.init_params(jax.random.PRNGKey(0))
+    return LLMEngine(ec, ModelRunner(m, params, ec), tokenizer=make_test_tokenizer(128))
+
+
+PROMPT = "t5 t6 t7"
+
+
+@pytest.fixture(scope="module")
+def base_text():
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    out = _engine().generate([PROMPT], sp)[0]
+    words = out.text.split()
+    assert len(words) == 10
+    return out.text, words
+
+
+class TestStopStrings:
+    def test_stop_trims_before_match(self, base_text):
+        text, words = base_text
+        stop = words[3]
+        sp = SamplingParams(
+            temperature=0.0, max_tokens=10, ignore_eos=True, stop=[stop]
+        )
+        out = _engine().generate([PROMPT], sp)[0]
+        assert out.finish_reason == "stop"
+        expect = text[: text.find(stop)]
+        assert out.text == expect
+        assert stop not in out.text
+
+    def test_include_stop_str_in_output(self, base_text):
+        text, words = base_text
+        stop = words[3]
+        sp = SamplingParams(
+            temperature=0.0, max_tokens=10, ignore_eos=True,
+            stop=[stop], include_stop_str_in_output=True,
+        )
+        out = _engine().generate([PROMPT], sp)[0]
+        assert out.finish_reason == "stop"
+        assert out.text == text[: text.find(stop) + len(stop)]
+        assert out.text.endswith(stop)
+
+    def test_multi_token_stop_spans_boundary(self, base_text):
+        """A stop string spanning two token deltas must still match — the
+        bounded scan keeps a max_stop_len-1 overlap window."""
+        text, words = base_text
+        stop = f"{words[2]} {words[3]}"
+        sp = SamplingParams(
+            temperature=0.0, max_tokens=10, ignore_eos=True, stop=[stop]
+        )
+        out = _engine().generate([PROMPT], sp)[0]
+        assert out.finish_reason == "stop"
+        assert out.text == text[: text.find(stop)]
+
+    def test_earliest_stop_wins(self, base_text):
+        text, words = base_text
+        sp = SamplingParams(
+            temperature=0.0, max_tokens=10, ignore_eos=True,
+            stop=[words[5], words[2]],
+        )
+        out = _engine().generate([PROMPT], sp)[0]
+        assert out.finish_reason == "stop"
+        assert out.text == text[: text.find(words[2])]
+
+    def test_no_stop_runs_to_length(self, base_text):
+        text, _ = base_text
+        sp = SamplingParams(
+            temperature=0.0, max_tokens=10, ignore_eos=True, stop=["zzz-never"]
+        )
+        out = _engine().generate([PROMPT], sp)[0]
+        assert out.finish_reason == "length"
+        assert out.text == text
+
+    def test_stream_deltas_concatenate_to_final(self, base_text):
+        text, words = base_text
+        stop = words[4]
+        sp = SamplingParams(
+            temperature=0.0, max_tokens=10, ignore_eos=True, stop=[stop]
+        )
+        eng = _engine()
+        sid = eng.add_request(PROMPT, sp)
+        stream = eng.get_stream(sid)
+        acc = ""
+        while True:
+            if eng.step() == 0 and not eng.scheduler.has_work():
+                break
+        while not stream.empty():
+            item = stream.get_nowait()
+            acc += item.text
+            if item.finished:
+                break
+        assert acc == eng.requests[sid].text == text[: text.find(stop)]
+
+
+class TestBoundedScan:
+    def test_scan_offset_advances(self):
+        """After each miss the scan start covers only the overlap tail."""
+
+        class _Seq:
+            class sampling_params:
+                stop = ("abcd",)
+
+        st = object.__new__(_RequestState)
+        st.text = ""
+        st.stop_strings = ("abcd",)
+        st.stop_scan_from = 0
+        st.max_stop_len = 4
+        st.text = "x" * 100
+        assert LLMEngine._find_stop_string(st) is None
+        assert st.stop_scan_from == 100 - 3
+        # a match straddling the previous boundary is still found
+        st.text += "abcd"
+        assert LLMEngine._find_stop_string(st) == (100, 104)

@@ -481,7 +481,30 @@ class SamplingParams:
     @staticmethod
     def from_dict(d: dict) -> "SamplingParams":
         names = {f.name for f in dataclasses.fields(SamplingParams)}
-        return SamplingParams(**{k: v for k, v in d.items() if k in names})
+        sp = SamplingParams(**{k: v for k, v in d.items() if k in names})
+        # JSON round-trips (the multi-host request feed) turn tuples into
+        # lists; normalize back so equality and hashing behave
+        sp.stop = tuple(sp.stop or ())
+        sp.stop_token_ids = tuple(sp.stop_token_ids or ())
+        if sp.constraint is not None:
+            kind, arg = sp.constraint
+            if isinstance(arg, list):
+                arg = tuple(arg)
+            sp.constraint = (kind, arg)
+        return sp
+
+    def to_dict(self) -> dict:
+        """JSON-safe dict (multi-host feed wire format; inverse of
+        from_dict up to tuple/list normalization)."""
+        d = dataclasses.asdict(self)
+        d["stop"] = list(self.stop or ())
+        d["stop_token_ids"] = list(self.stop_token_ids or ())
+        if self.constraint is not None:
+            kind, arg = self.constraint
+            if isinstance(arg, tuple):
+                arg = list(arg)
+            d["constraint"] = [kind, arg]
+        return d
 
 
 # ---------------------------------------------------------------------------

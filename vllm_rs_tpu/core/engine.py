@@ -61,6 +61,14 @@ class _RequestState:
         self.text = ""
         self.stream: "queue.Queue[StreamItem]" = queue.Queue()
         self.stop_strings = tuple(seq.sampling_params.stop or ())
+        # stop-string scan resumes here each token; advanced so that only a
+        # max_stop_len-1 tail is ever re-scanned (the reference checks a
+        # bounded tail; a full .find over accumulated text is quadratic)
+        self.stop_scan_from = 0
+        self.max_stop_len = max((len(s) for s in self.stop_strings), default=0)
+        # multi-host leader: set when a stop string matched and the finish
+        # is queued for the next step boundary (suppresses further deltas)
+        self.mh_suppressed = False
 
 
 class LLMEngine:
@@ -110,6 +118,122 @@ class LLMEngine:
         # periodic throughput reporting (engine.rs:1172-1215, every 5 s)
         self._tp_last_time = time.time()
         self._tp_last_tokens = 0
+        # ---- multi-host lockstep state (parallel/multihost.py) ----
+        # role None = single host; "leader" defers every scheduler-visible
+        # mutation (admission/abort/stop-finish) to its next step boundary
+        # and publishes it in a step marker; "follower" applies marker k
+        # before scheduling step k. step_index counts drained steps.
+        self.mh_role: Optional[str] = None
+        self.mh_feed = None  # StepFeed (leader)
+        self.mh_follower = None  # StepFollower
+        self.step_index = 0
+        self._mh_pending_admissions: list = []
+        self._mh_pending_finishes: list = []  # (seq_id, reason_str)
+        self._mh_pending_aborts: list = []
+        # optional schedule trace for lockstep tests: list of
+        # (step_index, kind, seq_ids, chunk_sizes, n_steps)
+        self.schedule_trace: Optional[list] = None
+
+    # ------------------------------------------------------------------
+    # multi-host lockstep (reference: runner lockstep loop,
+    # src/runner/runner.rs:249-434 + block-manager broadcast mirror)
+    # ------------------------------------------------------------------
+
+    def enable_multihost_leader(self, feed) -> None:
+        self.mh_role = "leader"
+        self.mh_feed = feed
+
+    def enable_multihost_follower(self, follower) -> None:
+        self.mh_role = "follower"
+        self.mh_follower = follower
+
+    def _mh_apply(self, admissions, finishes, aborts) -> None:
+        """Apply one step marker's control events — runs under self._lock
+        at the step boundary, identically on every host."""
+        from vllm_rs_tpu.config import SamplingParams
+
+        for a in admissions:
+            if isinstance(a, dict):  # follower: reconstruct the sequence
+                sp = SamplingParams.from_dict(a["sampling"])
+                seq = Sequence(a["token_ids"], sp, seq_id=a["seq_id"])
+                if sp.constraint is not None:
+                    seq.guidance = self._make_guidance(sp.constraint)
+                self.requests[seq.seq_id] = _RequestState(seq, None)
+                self.total_prompt_tokens += seq.prompt_len
+            else:  # leader: already constructed + registered
+                seq = a
+            if self.is_hybrid:
+                # slot allocation at the boundary keeps the free-list pop
+                # order identical across hosts
+                if not self._mamba_free:
+                    raise RuntimeError("no free mamba slots (raise cache.mamba_slots)")
+                seq.mamba_slot = self._mamba_free.pop()
+                self.runner.reset_mamba_slot(seq.mamba_slot)
+            self.scheduler.add(seq)
+        for sid, reason in finishes:
+            st = self.requests.get(sid)
+            if st is None or st.seq.is_finished:
+                continue
+            self.scheduler.finish_seq(st.seq, FinishReason(reason))
+            self._free_mamba(st.seq)
+            if self.mh_role == "leader":
+                st.stream.put(
+                    StreamItem(seq_id=sid, finished=True, finish_reason=reason)
+                )
+        for sid in aborts:
+            seq = self.scheduler.abort(sid)
+            if seq is not None:
+                self._free_mamba(seq)
+            st = self.requests.get(sid)
+            if st is not None and self.mh_role == "leader":
+                st.stream.put(
+                    StreamItem(seq_id=sid, finished=True, finish_reason="abort")
+                )
+
+    def _mh_take_pending(self):
+        adm = self._mh_pending_admissions
+        fins = self._mh_pending_finishes
+        abr = self._mh_pending_aborts
+        self._mh_pending_admissions = []
+        self._mh_pending_finishes = []
+        self._mh_pending_aborts = []
+        wire = [
+            {
+                "seq_id": s.seq_id,
+                "token_ids": s.all_token_ids()[: s.prompt_len],
+                "sampling": s.sampling_params.to_dict(),
+            }
+            for s in adm
+        ]
+        return adm, wire, fins, abr
+
+    def _mh_follower_drain(self) -> bool:
+        """Block for this step's marker (poll briefly when idle). Returns
+        False when idle with no marker pending."""
+        with self._lock:
+            has_work = self.scheduler.has_work()
+        marker = self.mh_follower.next_marker(
+            self.step_index, timeout=None if has_work else 0.05
+        )
+        if marker is None:
+            return False
+        with self._lock:
+            self._mh_apply(
+                marker["admissions"], marker["finishes"], marker["aborts"]
+            )
+        return True
+
+    def _trace(self, batch) -> None:
+        if self.schedule_trace is not None:
+            self.schedule_trace.append(
+                (
+                    self.step_index,
+                    batch.kind,
+                    tuple(s.seq_id for s in batch.seqs),
+                    tuple(batch.chunk_sizes),
+                    batch.n_steps,
+                )
+            )
 
     # ------------------------------------------------------------------
     # admission (reference add_request, engine.rs:687-810)
@@ -148,13 +272,18 @@ class LLMEngine:
             return pd.prefill_remote(list(token_ids), sp)
         image_seed = None
         if images:
+            if self.mh_role is not None:
+                raise ValueError(
+                    "multimodal requests are not yet supported in multi-host "
+                    "mode (image embeddings are host-computed)"
+                )
             image_seed = images[0].seed
         seq = Sequence(token_ids, sp, image_seed=image_seed)
         if images:
             self._attach_images(seq, images, token_ids)
         if sp.constraint is not None:
             seq.guidance = self._make_guidance(sp.constraint)
-        if self.is_hybrid:
+        if self.is_hybrid and self.mh_role is None:
             with self._lock:
                 if not self._mamba_free:
                     raise RuntimeError("no free mamba slots (raise cache.mamba_slots)")
@@ -165,7 +294,12 @@ class LLMEngine:
         )
         with self._lock:
             self.requests[seq.seq_id] = _RequestState(seq, detok)
-            self.scheduler.add(seq)
+            if self.mh_role == "leader":
+                # admission is deferred to the next step boundary where it
+                # is broadcast + applied (multi-host determinism contract)
+                self._mh_pending_admissions.append(seq)
+            else:
+                self.scheduler.add(seq)
             self.total_prompt_tokens += len(token_ids)
         return seq.seq_id
 
@@ -223,6 +357,13 @@ class LLMEngine:
             seq.mamba_slot = None
 
     def abort_request(self, seq_id: int) -> None:
+        if self.mh_role == "leader":
+            # deferred + broadcast at the next step boundary
+            with self._lock:
+                st = self.requests.get(seq_id)
+                if st is not None and not st.seq.is_finished:
+                    self._mh_pending_aborts.append(seq_id)
+            return
         with self._lock:
             seq = self.scheduler.abort(seq_id)
             st = self.requests.get(seq_id)
@@ -242,8 +383,35 @@ class LLMEngine:
 
     def step(self) -> int:
         """One engine iteration. Returns number of sequences stepped."""
-        with self._lock:
-            batch = self.scheduler.schedule()
+        if self.mh_role == "follower":
+            if not self._mh_follower_drain():
+                return 0
+            with self._lock:
+                batch = self.scheduler.schedule()
+                self._trace(batch)
+                self.step_index += 1
+        elif self.mh_role == "leader":
+            with self._lock:
+                if (
+                    not self._mh_pending_admissions
+                    and not self._mh_pending_finishes
+                    and not self._mh_pending_aborts
+                    and not self.scheduler.has_work()
+                ):
+                    return 0
+                adm, wire, fins, abr = self._mh_take_pending()
+                # publish BEFORE applying: followers must never observe a
+                # schedule the leader ran with events they don't have
+                self.mh_feed.publish(self.step_index, wire, fins, abr)
+                self._mh_apply(adm, fins, abr)
+                batch = self.scheduler.schedule()
+                self._trace(batch)
+                self.step_index += 1
+        else:
+            with self._lock:
+                batch = self.scheduler.schedule()
+                self._trace(batch)
+                self.step_index += 1
         if batch.is_empty:
             return 0
         if batch.kind == "decode" and batch.drafts is not None:
@@ -285,6 +453,10 @@ class LLMEngine:
             g = getattr(seq, "guidance", None)
             if g is not None:  # commit into the grammar (runner.rs:336-372)
                 g.advance(tok, self.tokenizer.decode([tok]))
+            if st.mh_suppressed:
+                # leader already hit this seq's stop string; the finish is
+                # queued for the next step boundary — drop extra deltas
+                continue
             text = ""
             if st.detok is not None:
                 text = st.detok.push(tok)
@@ -292,12 +464,22 @@ class LLMEngine:
                 if not seq.is_finished and st.stop_strings:
                     hit = self._find_stop_string(st)
                     if hit is not None:
-                        self.scheduler.finish_seq(seq, FinishReason.STOP)
                         # trim the emitted text at the stop string
                         sp = seq.sampling_params
                         keep = st.text[: hit[1]] if sp.include_stop_str_in_output else st.text[: hit[0]]
                         text = text[: max(len(keep) - (len(st.text) - len(text)), 0)]
                         st.text = keep
+                        if self.mh_role == "leader":
+                            # the scheduler mutation must happen at a step
+                            # boundary on EVERY host — queue it for the next
+                            # marker; meanwhile suppress further deltas
+                            st.mh_suppressed = True
+                            self._mh_pending_finishes.append((seq.seq_id, "stop"))
+                            st.stream.put(
+                                StreamItem(seq_id=seq.seq_id, token_id=tok, text=text)
+                            )
+                            continue
+                        self.scheduler.finish_seq(seq, FinishReason.STOP)
             item = StreamItem(seq_id=seq.seq_id, token_id=tok, text=text)
             if seq.is_finished:
                 self._free_mamba(seq)
@@ -309,14 +491,21 @@ class LLMEngine:
                 item.finish_reason = (
                     seq.finish_reason.value if seq.finish_reason else None
                 )
-            st.stream.put(item)
+            if self.mh_role != "follower":
+                st.stream.put(item)
 
     @staticmethod
     def _find_stop_string(st: _RequestState):
+        best = None
         for s in st.stop_strings:
-            idx = st.text.find(s)
-            if idx != -1:
-                return idx, idx + len(s)
+            idx = st.text.find(s, st.stop_scan_from)
+            if idx != -1 and (best is None or idx < best[0]):
+                best = (idx, idx + len(s))
+        if best is not None:
+            return best
+        # no hit: next scan only needs to cover suffixes that could still
+        # complete a stop string across the append boundary
+        st.stop_scan_from = max(0, len(st.text) - st.max_stop_len + 1)
         return None
 
     # ------------------------------------------------------------------
@@ -404,37 +593,51 @@ class LLMEngine:
         pooling: str = "last",
     ) -> List["np.ndarray"]:
         """Encode prompts into pooled hidden-state vectors."""
+        if self.mh_role is not None:
+            # embed mutates the block pool outside the step-marker protocol;
+            # supporting it needs an embed admission kind in the marker
+            raise RuntimeError("embeddings are not supported in multi-host mode")
         import numpy as np  # noqa: F811
 
         from vllm_rs_tpu.core.scheduler import ScheduledBatch
 
         out: List[np.ndarray] = []
         max_t = self.econfig.prefill_buckets[-1]
-        with self._lock:
-            for prompt in prompts:
-                if isinstance(prompt, str):
-                    assert self.tokenizer is not None
-                    ids = self.tokenizer.encode(prompt)
-                    ids = ids.ids if hasattr(ids, "ids") else ids
-                else:
-                    ids = list(prompt)
-                if len(ids) > max_t:
-                    raise ValueError(
-                        f"embedding prompt ({len(ids)} tokens) exceeds max bucket {max_t}"
-                    )
-                seq = Sequence(ids, SamplingParams(max_tokens=1))
+        for prompt in prompts:
+            if isinstance(prompt, str):
+                assert self.tokenizer is not None
+                ids = self.tokenizer.encode(prompt)
+                ids = ids.ids if hasattr(ids, "ids") else ids
+            else:
+                ids = list(prompt)
+            if len(ids) > max_t:
+                raise ValueError(
+                    f"embedding prompt ({len(ids)} tokens) exceeds max bucket {max_t}"
+                )
+            seq = Sequence(ids, SamplingParams(max_tokens=1))
+            # engine lock only around block-table mutation: holding it
+            # across the device forward would stall all decode scheduling
+            # (reference runs embed through the engine loop, engine.rs:1520;
+            # the forward itself is serialized vs steps by the runner's
+            # internal KV lock)
+            with self._lock:
                 if not self.block_manager.allocate_prompt(seq):
                     raise RuntimeError("KV pool exhausted for embedding request")
                 # prefix-cached blocks still need this forward's KV writes to
-                # land somewhere valid; embed runs the full prompt
+                # land somewhere valid; embed runs the full prompt (writes to
+                # shared prefix blocks rewrite identical K/V values)
                 seq.num_cached_tokens = 0
-                batch = ScheduledBatch(
-                    kind="prefill", seqs=[seq], chunk_sizes=[len(ids)]
-                )
+            batch = ScheduledBatch(
+                kind="prefill", seqs=[seq], chunk_sizes=[len(ids)]
+            )
+            try:
                 vec = self.runner.embed(batch, pooling=pooling)[0]
-                self.block_manager.free_seq(seq, cache=False)
+            finally:
+                with self._lock:
+                    self.block_manager.free_seq(seq, cache=False)
+            with self._lock:
                 self.total_prompt_tokens += len(ids)
-                out.append(vec)
+            out.append(vec)
         return out
 
     # ------------------------------------------------------------------

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import threading
 import time
 from typing import List, Optional, Sequence as Seq, Tuple
 
@@ -101,6 +102,24 @@ class ModelRunner:
         self.prefill_row_buckets = tuple(pb)
         self._base_key = jax.random.PRNGKey(econfig.seed)
         self._step_counter = 0
+        # multi-process mesh (multi-host SPMD): host-built descriptor
+        # arrays must become GLOBAL replicated arrays before entering the
+        # pjit'd step (every host passes identical values — guaranteed by
+        # the engine's step-marker protocol)
+        self._replicated = None
+        if mesh is not None and any(
+            d.process_index != jax.process_index() for d in mesh.devices.flat
+        ):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._replicated = NamedSharding(mesh, PartitionSpec())
+        # self.kv is donated by every jitted entry point; concurrent calls
+        # from different host threads (engine loop vs server executor
+        # threads running embed/swap) would race the donation — one thread
+        # reads an already-deleted buffer, or a kv reassignment drops a
+        # step's writes. ALL public methods that touch self.kv serialize
+        # behind this lock (advisor finding: engine.py:413 embed race).
+        self._kv_lock = threading.RLock()
         # one compiled executable per (B, T, needs_filters, needs_penalties)
         self._jit_step = jax.jit(
             self._step_impl,
@@ -127,6 +146,30 @@ class ModelRunner:
             ),
             donate_argnums=(0,),
         )
+
+    def _globalize(self, tree):
+        """On a multi-process mesh, lift host-local descriptor arrays into
+        global replicated jax arrays (identical on every host by the
+        multi-host determinism contract). No-op on single-process meshes."""
+        if self._replicated is None:
+            return tree
+
+        def conv(x):
+            return jax.make_array_from_process_local_data(
+                self._replicated, np.asarray(x)
+            )
+
+        return jax.tree_util.tree_map(conv, tree)
+
+    def _fetch(self, arr) -> np.ndarray:
+        """Materialize a jitted-step output on the host. On multi-process
+        meshes outputs are usually fully replicated (replicated inputs);
+        if XLA chose a distributed layout, allgather it."""
+        if self._replicated is None or getattr(arr, "is_fully_replicated", True):
+            return np.asarray(arr)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
     # ------------------------------------------------------------------
     # jitted step
@@ -177,9 +220,10 @@ class ModelRunner:
     def embed(self, batch: ScheduledBatch, pooling: str = "last") -> np.ndarray:
         """Run a prefill-shaped batch for embeddings → [num_seqs, D] f32."""
         token_ids, meta = self.prepare_prefill(batch)
-        self.kv, pooled = self._jit_embed(
-            self.params, self.kv, token_ids, meta, pooling=pooling
-        )
+        with self._kv_lock:
+            self.kv, pooled = self._jit_embed(
+                self.params, self.kv, token_ids, meta, pooling=pooling
+            )
         return np.asarray(pooled)[: len(batch.seqs)]
 
     # ------------------------------------------------------------------
@@ -407,19 +451,23 @@ class ModelRunner:
         B = token_ids.shape[0]
         st, needs_filters, needs_penalties, mask = self.prepare_sampling(batch.seqs, B)
         self._step_counter += 1
-        self.kv, tokens, _ = _dispatch_with_retry(
-            self._jit_step,
-            self.params,
-            self.kv,
-            token_ids,
-            meta,
-            st,
-            self._base_key,
-            mask,
-            needs_filters=needs_filters,
-            needs_penalties=needs_penalties,
+        token_ids, meta, st, key, mask = self._globalize(
+            (token_ids, meta, st, self._base_key, mask)
         )
-        host_tokens = np.asarray(tokens)
+        with self._kv_lock:
+            self.kv, tokens, _ = _dispatch_with_retry(
+                self._jit_step,
+                self.params,
+                self.kv,
+                token_ids,
+                meta,
+                st,
+                key,
+                mask,
+                needs_filters=needs_filters,
+                needs_penalties=needs_penalties,
+            )
+        host_tokens = self._fetch(tokens)
         return [int(host_tokens[i]) for i in range(len(batch.seqs))]
 
     # ------------------------------------------------------------------
@@ -523,23 +571,23 @@ class ModelRunner:
             )
         valid = np.zeros((B,), dtype=bool)
         valid[: len(seqs)] = True
-        self.kv, out = _dispatch_with_retry(
-            self._jit_multi,
-            self.params,
-            self.kv,
-            jnp.asarray(start_tokens),
-            jnp.asarray(start_pos),
-            jnp.asarray(block_tables),
-            jnp.asarray(valid),
-            jnp.asarray(mslots),
-            st,
-            self._base_key,
-            n_steps=n_steps,
-            needs_filters=needs_filters,
-            needs_penalties=needs_penalties,
+        g_in = self._globalize(
+            (start_tokens, start_pos, block_tables, valid, mslots, st, self._base_key)
         )
+        with self._kv_lock:
+            self.kv, out = _dispatch_with_retry(
+                self._jit_multi,
+                self.params,
+                self.kv,
+                *[jnp.asarray(x) if self._replicated is None else x for x in g_in[:5]],
+                g_in[5],
+                g_in[6],
+                n_steps=n_steps,
+                needs_filters=needs_filters,
+                needs_penalties=needs_penalties,
+            )
         self._step_counter += n_steps
-        return np.asarray(out)[: len(seqs)]
+        return self._fetch(out)[: len(seqs)]
 
     # ------------------------------------------------------------------
     # speculative decoding: verify k drafted tokens in one forward
@@ -607,10 +655,10 @@ class ModelRunner:
         )
         if not hasattr(self, "_jit_verify"):
             self._jit_verify = jax.jit(self._verify_impl, donate_argnames=("kv",))
-        self.kv, preds = self._jit_verify(
-            self.params, self.kv, jnp.asarray(token_ids), meta
-        )
-        preds = np.asarray(preds)
+        g_tok, meta = self._globalize((jnp.asarray(token_ids), meta))
+        with self._kv_lock:
+            self.kv, preds = self._jit_verify(self.params, self.kv, g_tok, meta)
+        preds = self._fetch(preds)
         out = []
         for i, (seq, d) in enumerate(zip(seqs, drafts)):
             accepted = []
@@ -626,13 +674,14 @@ class ModelRunner:
 
     def reset_mamba_slot(self, slot: int) -> None:
         """Zero a reused mamba slot's recurrent + conv state."""
-        if not isinstance(self.kv, dict):
-            return
-        kv = dict(self.kv)
-        for k in ("conv", "rec"):
-            if k in kv:
-                kv[k] = kv[k].at[:, slot].set(0)
-        self.kv = kv
+        with self._kv_lock:
+            if not isinstance(self.kv, dict):
+                return
+            kv = dict(self.kv)
+            for k in ("conv", "rec"):
+                if k in kv:
+                    kv[k] = kv[k].at[:, slot].set(0)
+            self.kv = kv
 
     def _slots_of_blocks(self, block_table: List[int]) -> np.ndarray:
         bs = self.block_size
@@ -644,16 +693,99 @@ class ModelRunner:
     def swap_out(self, block_table: List[int]):
         """Copy the blocks' KV to host memory → host pytree (numpy)."""
         slots = jnp.asarray(self._slots_of_blocks(block_table))
-        data = self._jit_gather_slots(self.kv, slots)
+        with self._kv_lock:
+            data = self._jit_gather_slots(self.kv, slots)
         return jax.tree_util.tree_map(np.asarray, data)  # blocks until ready
 
     def swap_in(self, host_data, block_table: List[int]) -> None:
         """Scatter host KV data back into (newly allocated) blocks."""
         slots = jnp.asarray(self._slots_of_blocks(block_table))
-        self.kv = self._jit_scatter_slots(self.kv, slots, host_data)
+        with self._kv_lock:
+            self.kv = self._jit_scatter_slots(self.kv, slots, host_data)
 
-    def warmup(self) -> None:
-        """Pre-compile the common (B, T) buckets — the analogue of the
-        reference's CUDA-graph warmup_capture (runner.rs:1612)."""
-        # compilation happens lazily; an explicit warmup can iterate buckets
-        # with dummy sequences. Deliberately minimal for now.
+    # ------------------------------------------------------------------
+    # startup warmup (reference warmup_capture, runner.rs:1612 +
+    # planned_graph_capture_batches, graph.rs:370-377)
+    # ------------------------------------------------------------------
+
+    def compile_cache_size(self) -> int:
+        """Total compiled executables across the runner's jitted entry
+        points (used to assert zero compiles after warmup)."""
+        total = 0
+        for name in ("_jit_step", "_jit_multi", "_jit_verify", "_jit_embed"):
+            fn = getattr(self, name, None)
+            if fn is not None and hasattr(fn, "_cache_size"):
+                total += fn._cache_size()
+        return total
+
+    def _dummy_batch(self, n_seqs: int, ctx: int, *, variant: str = "greedy", extra: int = 0) -> ScheduledBatch:
+        from vllm_rs_tpu.config import SamplingParams
+
+        sp = SamplingParams(max_tokens=8, temperature=0.0)
+        if variant in ("sampled", "penalized"):
+            sp.temperature = 0.8
+        if variant == "penalized":
+            sp.repetition_penalty = 1.1
+        seqs = []
+        for _ in range(n_seqs):
+            s = Sequence([1] * ctx, sp)
+            # all writes land in block 0 — garbage KV is harmless before
+            # serving starts (every real position is written before read);
+            # extra covers multi-step/verify positions past the context
+            s.block_table = [0] * -(-(ctx + extra) // self.block_size)
+            seqs.append(s)
+        return ScheduledBatch(kind="decode", seqs=seqs)
+
+    def warmup(self, *, mode: str = "decode", multi_step: int = 0, spec_k: int = 0) -> int:
+        """Pre-compile the serving-critical bucket programs with dummy
+        batches so the first real request hits a warm executable (with the
+        remote AOT compiler a cold bucket costs seconds-to-minutes of TTFT).
+
+        mode "decode": single-step decode for every decode bucket (+
+        multi-step k and verify k when configured) at the small
+        block-table tier, greedy + sampled sampling variants.
+        mode "full": additionally the wide block-table tier and the
+        prefill buckets. Returns the number of executables compiled.
+        """
+        if mode == "none":
+            return 0
+        before = self.compile_cache_size()
+        t0 = time.time()
+        ctx_small = min(4, self.block_size)
+        widths = [ctx_small]
+        if mode == "full":
+            # a context deep enough to hit the wide block-table tier
+            small_tier = min(32, self.max_blocks_per_seq)
+            if self.max_blocks_per_seq > small_tier:
+                widths.append((small_tier + 1) * self.block_size)
+        for ctx in widths:
+            for b in self.decode_buckets:
+                # the three sampling-flag programs: greedy (False,False),
+                # filters only (True,False), filters+penalties (True,True)
+                for variant in ("greedy", "sampled", "penalized"):
+                    batch = self._dummy_batch(b, ctx, variant=variant)
+                    self.run(batch)
+                if multi_step > 1:
+                    batch = self._dummy_batch(b, ctx, extra=multi_step)
+                    self.run_multi(batch, multi_step)
+                if spec_k > 0:
+                    batch = self._dummy_batch(b, ctx, extra=spec_k + 1)
+                    self.run_verify(batch, [[1] * spec_k for _ in batch.seqs])
+        if mode == "full":
+            from vllm_rs_tpu.config import SamplingParams
+
+            for t in self.econfig.prefill_buckets:
+                for temp in (0.0, 0.8):  # greedy + filtered sampling programs
+                    seq = Sequence(
+                        [1] * t, SamplingParams(max_tokens=8, temperature=temp)
+                    )
+                    seq.block_table = [0] * -(-t // self.block_size)
+                    batch = ScheduledBatch(
+                        kind="prefill", seqs=[seq], chunk_sizes=[t]
+                    )
+                    self.run(batch)
+        n = self.compile_cache_size() - before
+        logger.info(
+            "warmup(%s): %d executables compiled in %.1fs", mode, n, time.time() - t0
+        )
+        return n

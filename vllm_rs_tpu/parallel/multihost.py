@@ -8,27 +8,37 @@ model:
   the same global Mesh over all chips; weights/KV shard by NamedSharding
   and XLA places collectives on ICI/DCN;
 - every host runs the SAME engine: scheduler state is a pure function of
-  the request stream, so if all hosts see requests in the same order they
-  make bit-identical scheduling decisions and pass identical batch
-  descriptors to the shared jitted step — the moral equivalent of the
-  reference's `def_broadcast_message_to_runners!` mirror
-  (block_manager.rs:746-874) with zero control-plane messages per step;
-- request ingress happens on rank 0 (the HTTP server); `RequestFeed`
-  broadcasts (seq_id, token_ids, sampling, arrival order) to follower
-  hosts over TCP with a monotonic sequence number, and followers inject
-  them through the same `LLMEngine.add_request` path.
+  the control stream, so if all hosts apply the same control events at the
+  same STEP BOUNDARY they make bit-identical scheduling decisions and pass
+  identical batch descriptors to the shared jitted step — the moral
+  equivalent of the reference's `def_broadcast_message_to_runners!` mirror
+  (block_manager.rs:746-874) plus the lockstep runner message loop
+  (src/runner/runner.rs:249-434), collapsed to ONE small marker frame per
+  engine step;
+- request ingress happens on rank 0 (the HTTP server). The leader defers
+  every scheduler-visible mutation (admission, abort, stop-string finish)
+  to its next step boundary, publishes them in a step-indexed marker via
+  `StepFeed`, and applies them locally at that same boundary. Followers
+  block on `StepFollower.next_marker(step)` before scheduling, so every
+  host's scheduler sees the identical event sequence at the identical
+  step index.
 
-Scheduler determinism is load-bearing and is pinned by
-tests/test_multihost.py::test_scheduler_is_deterministic.
+Determinism of the scheduler itself is pinned by
+tests/test_multihost.py::test_scheduler_is_deterministic; the end-to-end
+lockstep contract (2 jax.distributed processes, one global mesh, requests
+injected mid-stream → bit-identical tokens and schedules) by
+tests/test_multihost_lockstep.py.
 """
 
 from __future__ import annotations
 
 import json
 import logging
+import queue
 import socket
 import struct
 import threading
+import time
 from typing import Callable, List, Optional
 
 logger = logging.getLogger(__name__)
@@ -61,12 +71,158 @@ def init_distributed(
     )
 
 
-class RequestFeed:
-    """Rank-0 → follower broadcast of admitted requests.
+def _send_frame(sock: socket.socket, obj: dict) -> None:
+    msg = json.dumps(obj).encode()
+    sock.sendall(struct.pack("<I", len(msg)) + msg)
 
-    Keeps every host's engine fed with an identical, identically-ordered
-    request stream (seq ids are assigned by rank 0 and carried over).
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("feed closed")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_frame(sock: socket.socket) -> dict:
+    (n,) = struct.unpack("<I", _recv_exact(sock, 4))
+    return json.loads(_recv_exact(sock, n))
+
+
+class StepFeed:
+    """Leader-side step-synchronized control broadcast.
+
+    One marker frame per engine step carrying every scheduler-visible
+    control event the leader applies at that step boundary:
+    `{"step": k, "admissions": [...], "finishes": [...], "aborts": [...]}`.
+    Followers apply marker k before their schedule() for step k — this is
+    the step-boundary half of the determinism contract (the round-1 feed
+    carried only an arrival seqno, so followers injected on arrival from a
+    thread and could admit at a different step than rank 0).
     """
+
+    def __init__(self, port: int = 0):
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("0.0.0.0", port))
+        self._srv.listen(64)
+        self.port = self._srv.getsockname()[1]
+        self._followers: List[socket.socket] = []
+        self._lock = threading.Lock()
+        self._accept_thread = threading.Thread(target=self._accept, daemon=True)
+        self._accept_thread.start()
+
+    def _accept(self) -> None:
+        while True:
+            try:
+                conn, _ = self._srv.accept()
+                conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            except OSError:
+                return
+            with self._lock:
+                self._followers.append(conn)
+
+    def num_followers(self) -> int:
+        with self._lock:
+            return len(self._followers)
+
+    def wait_followers(self, n: int, timeout: float = 60.0) -> None:
+        """Block until n followers are connected (call before serving — a
+        marker published before a follower joins is lost to it)."""
+        deadline = time.time() + timeout
+        while self.num_followers() < n:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"only {self.num_followers()}/{n} followers connected"
+                )
+            time.sleep(0.01)
+
+    def publish(
+        self,
+        step: int,
+        admissions: Optional[list] = None,
+        finishes: Optional[list] = None,
+        aborts: Optional[list] = None,
+    ) -> None:
+        """Broadcast the step-k marker to all followers, in order."""
+        marker = {
+            "step": step,
+            "admissions": admissions or [],
+            "finishes": finishes or [],
+            "aborts": aborts or [],
+        }
+        with self._lock:
+            dead = []
+            for f in self._followers:
+                try:
+                    _send_frame(f, marker)
+                except OSError:
+                    dead.append(f)
+            for f in dead:
+                self._followers.remove(f)
+
+    def close(self) -> None:
+        self._srv.close()
+        with self._lock:
+            for f in self._followers:
+                try:
+                    f.close()
+                except OSError:
+                    pass
+
+
+class StepFollower:
+    """Follower-side: receive step markers and hand them to the engine
+    loop strictly in step order."""
+
+    def __init__(self, addr):
+        self._sock = socket.create_connection(addr)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._q: "queue.Queue[dict]" = queue.Queue()
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        try:
+            while True:
+                self._q.put(_recv_frame(self._sock))
+        except (ConnectionError, OSError):
+            self._closed = True
+            return
+
+    def next_marker(self, step: int, timeout: Optional[float] = None) -> Optional[dict]:
+        """Block until the marker for `step` arrives (None on timeout).
+        Markers arrive strictly in order; a step mismatch means the
+        control streams diverged and is fatal."""
+        try:
+            marker = self._q.get(timeout=timeout)
+        except queue.Empty:
+            return None
+        assert marker["step"] == step, (
+            f"step-marker gap: got {marker['step']}, expected {step}"
+        )
+        return marker
+
+    def close(self) -> None:
+        self._closed = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# legacy arrival-order feed (round 1) — kept for the simple broadcast tests;
+# the engine integration uses StepFeed/StepFollower above
+# ---------------------------------------------------------------------------
+
+
+class RequestFeed:
+    """Rank-0 → follower broadcast of admitted requests (arrival-ordered,
+    NOT step-synchronized — superseded by StepFeed)."""
 
     def __init__(self, port: int = 0):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -90,21 +246,18 @@ class RequestFeed:
                 self._followers.append(conn)
 
     def publish(self, seq_id: int, token_ids, sampling_dict: dict) -> None:
-        """Broadcast one admitted request to all followers, in order."""
         with self._lock:
             self._seqno += 1
-            msg = json.dumps(
-                {
-                    "seqno": self._seqno,
-                    "seq_id": seq_id,
-                    "token_ids": list(token_ids),
-                    "sampling": sampling_dict,
-                }
-            ).encode()
+            msg = {
+                "seqno": self._seqno,
+                "seq_id": seq_id,
+                "token_ids": list(token_ids),
+                "sampling": sampling_dict,
+            }
             dead = []
             for f in self._followers:
                 try:
-                    f.sendall(struct.pack("<I", len(msg)) + msg)
+                    _send_frame(f, msg)
                 except OSError:
                     dead.append(f)
             for f in dead:
@@ -115,8 +268,7 @@ class RequestFeed:
 
 
 class RequestFollower:
-    """Follower-side: receive the rank-0 stream and inject into the local
-    engine in publication order."""
+    """Follower-side of the legacy arrival-order feed."""
 
     def __init__(self, addr, on_request: Callable[[int, list, dict], None]):
         self._sock = socket.create_connection(addr)
@@ -128,9 +280,7 @@ class RequestFollower:
     def _run(self) -> None:
         try:
             while True:
-                raw = self._recv_exact(4)
-                (n,) = struct.unpack("<I", raw)
-                msg = json.loads(self._recv_exact(n))
+                msg = _recv_frame(self._sock)
                 assert msg["seqno"] == self._expected, (
                     f"request stream gap: got {msg['seqno']}, want {self._expected}"
                 )
@@ -138,15 +288,6 @@ class RequestFollower:
                 self._on_request(msg["seq_id"], msg["token_ids"], msg["sampling"])
         except (ConnectionError, OSError):
             return
-
-    def _recv_exact(self, n: int) -> bytes:
-        buf = bytearray()
-        while len(buf) < n:
-            chunk = self._sock.recv(n - len(buf))
-            if not chunk:
-                raise ConnectionError("feed closed")
-            buf.extend(chunk)
-        return bytes(buf)
 
     def close(self) -> None:
         self._sock.close()
