@@ -222,6 +222,41 @@ class TestToolCallConstraint:
             "tool_choice": "required",
         }
         sp = sampling_from_openai(body)
-        assert sp.constraint == ("tool_call", ("f1",))
+        assert sp.constraint == ("tool_call", {"names": ("f1",)})
         body["tool_choice"] = "auto"
         assert sampling_from_openai(body).constraint is None
+
+
+class TestFamilyAwareToolConstraint:
+    def test_forced_output_matches_family_parser(self):
+        """The forced-call grammar must emit the model family's own
+        markers so its StreamParser recognizes the result."""
+        from vllm_rs_tpu.server.protocol import tool_call_constraint
+        from vllm_rs_tpu.server.tool_parser import StreamParser, ToolConfig
+        from vllm_rs_tpu.utils.guidance import build_constraint
+
+        for family in ("llama", "qwen3", "mistral"):
+            cfg = ToolConfig.for_model_type(family)
+            kind, spec = tool_call_constraint(
+                [{"type": "function", "function": {"name": "f", "parameters": {}}}],
+                "required",
+                cfg,
+            )
+            auto = build_constraint(kind, spec)
+            # walk the automaton along a representative forced emission
+            if spec.get("style") == "mistral":
+                emission = cfg.tool_start + '[{"name": "f", "arguments": {}}]'
+            else:
+                emission = (
+                    cfg.tool_start + '{"name": "f", "arguments": {}}' + cfg.tool_end
+                )
+            state = auto.initial()
+            for ch in emission:
+                state = auto.step(state, ch)
+                assert state is not None, (family, ch, emission)
+            assert auto.is_accepting(state), family
+            # and the family parser extracts the call from that emission
+            p = StreamParser(cfg)
+            ev = p.push(emission) + p.finish()
+            calls = [e[1] for e in ev if e[0] == "tool_call"]
+            assert len(calls) == 1 and calls[0].name == "f", (family, ev)

@@ -31,6 +31,7 @@ class ServerState:
         default_max_tokens: int = 1024,
         mcp=None,
         image_markers=None,
+        tool_parser: str = "",
     ):
         self.engine = engine
         self.model_name = model_name
@@ -40,7 +41,14 @@ class ServerState:
         # (start, per-token pad, end) text inserted where an image appears
         self.image_markers = image_markers or markers_for(mt)
         self.chat_template = chat_template or ChatTemplate(model_type=mt)
-        self.tool_config = tool_config or ToolConfig.for_model_type(mt)
+        if tool_config is None:
+            # discover dedicated marker/think token ids from the tokenizer
+            # (reference special_tokens.rs; --enforce-parser override
+            # main.rs:31-40 maps to tool_parser)
+            tool_config = ToolConfig.for_model_type(mt, parser_override=tool_parser)
+            if engine.tokenizer is not None:
+                tool_config = tool_config.with_tokenizer(engine.tokenizer)
+        self.tool_config = tool_config
         self.default_max_tokens = default_max_tokens
         # MCP manager (reference server/mod.rs:1016-1127 MCP tool execution)
         self.mcp = mcp
@@ -126,11 +134,13 @@ def run_server(
     model_name: str = "model",
     chat_template: Optional[ChatTemplate] = None,
     mcp=None,
+    tool_parser: str = "",
 ) -> None:
     """Start the engine loop and serve until interrupted."""
     engine.start_loop()
     state = ServerState(
-        engine, model_name=model_name, chat_template=chat_template, mcp=mcp
+        engine, model_name=model_name, chat_template=chat_template, mcp=mcp,
+        tool_parser=tool_parser,
     )
     app = build_app(state)
     logger.info("serving %s on %s:%d", model_name, host, port)

@@ -118,12 +118,32 @@ async def messages(request: web.Request) -> web.StreamResponse:
     body = await request.json()
     rid = make_id("msg")
     sp = _sampling_from_claude(body, st.default_max_tokens)
+    # Anthropic tool_choice (claude_server.rs handles auto/any/tool/none):
+    # "none" hides tools from the prompt; "any"/"tool" force a valid tool
+    # call through the grammar constraint
+    tool_choice = body.get("tool_choice") or {}
+    tc_type = tool_choice.get("type", "auto") if isinstance(tool_choice, dict) else "auto"
+    tools = _claude_tools_to_openai(body.get("tools")) if tc_type != "none" else None
+    if tools and tc_type in ("any", "tool"):
+        names = [t["function"]["name"] for t in tools]
+        if tc_type == "tool":
+            names = [tool_choice.get("name")] if tool_choice.get("name") else names
+        if names:
+            sp.constraint = (
+                "tool_call",
+                {
+                    "names": tuple(names),
+                    "start": st.tool_config.tool_start,
+                    "end": st.tool_config.tool_end,
+                    "style": "mistral" if st.tool_config.strategy == "mistral" else "json",
+                },
+            )
     try:
         msgs, images = _messages_from_claude(body, st)
         prompt = st.chat_template.render(
             msgs,
             add_generation_prompt=True,
-            tools=_claude_tools_to_openai(body.get("tools")),
+            tools=tools,
             enable_thinking=(body.get("thinking") or {}).get("type") == "enabled",
         )
         seq_id = st.engine.add_request(prompt, sp, images=images or None)

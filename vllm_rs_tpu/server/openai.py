@@ -38,14 +38,31 @@ def _state(request: web.Request):
     return request.app["state"]
 
 
-async def _next_item(queue):
-    """Await the next StreamItem from the engine's thread-side queue."""
+async def _next_item(queue, timeout: Optional[float] = None):
+    """Await the next StreamItem from the engine's thread-side queue.
+    With a timeout, returns None when nothing arrives in time (used to
+    drive the tool-buffer timeout flush even when the stream stalls —
+    the reference only flushed on the next token, server.rs:367-372)."""
+    import queue as _q
+
     loop = asyncio.get_running_loop()
-    return await loop.run_in_executor(None, queue.get)
+
+    def get():
+        try:
+            return queue.get(timeout=timeout)
+        except _q.Empty:
+            return None
+
+    return await loop.run_in_executor(None, get)
 
 
 def _merged_tools(st, body: Dict[str, Any]):
-    """Request tools + cached MCP tools (server/mod.rs:1016-1127)."""
+    """Request tools + cached MCP tools (server/mod.rs:1016-1127).
+    tool_choice "none" excludes tools from the rendered prompt entirely —
+    the model must not see them (VERDICT: protocol returned no constraint
+    but the template still advertised the tools)."""
+    if body.get("tool_choice") == "none":
+        return None
     tools = list(body.get("tools") or [])
     if st.mcp is not None:
         tools += st.mcp.list_tools()
@@ -143,7 +160,11 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     st = _state(request)
     body = await request.json()
     rid = make_id("chatcmpl")
-    sp = sampling_from_openai(body, default_max=st.default_max_tokens)
+    sp = sampling_from_openai(
+        body, default_max=st.default_max_tokens,
+        gen_defaults=getattr(st.engine, "generation_defaults", None),
+        tool_config=st.tool_config,
+    )
     try:
         prompt, images = _render_prompt(st, body)
         seq_id = st.engine.add_request(prompt, sp, images=images or None)
@@ -171,10 +192,16 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
         n_out = 0
         try:
             while True:
-                item = await _next_item(queue)
+                item = await _next_item(queue, timeout=5.0)
+                if item is None:  # stalled stream: maybe flush tool buffer
+                    for kind, payload in parser.timeout_flush():
+                        await send(openai_chunk(rid, model, content=payload))
+                    continue
                 if item.token_id is not None:
                     n_out += 1
-                events = parser.push(item.text) if item.text else []
+                events = (
+                    parser.push(item.text, item.token_id) if item.text else []
+                )
                 if item.finished:
                     events += parser.finish()
                 for kind, payload in events:
@@ -218,10 +245,14 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     n_out = 0
     for _round in range(4):
         while True:
-            item = await _next_item(queue)
+            item = await _next_item(queue, timeout=5.0)
+            if item is None:
+                for kind, payload in parser.timeout_flush():
+                    content_parts.append(payload)
+                continue
             if item.token_id is not None:
                 n_out += 1
-            events = parser.push(item.text) if item.text else []
+            events = parser.push(item.text, item.token_id) if item.text else []
             if item.finished:
                 events += parser.finish()
             for kind, payload in events:
@@ -241,12 +272,33 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
         seq = st.engine.requests[seq_id].seq
         parser = StreamParser(st.tool_config)
         content_parts, reasoning_parts = [], []
+    # validate parsed calls against the request's tool schemas
+    # (reference tools/helpers.rs filter_tool_calls + forced-name retention)
+    from vllm_rs_tpu.server.tool_validate import (
+        build_schema_map,
+        forced_tool_name,
+        strict_validation_enabled,
+        validate_tool_calls,
+    )
+
+    tool_calls = list(parser.tool_calls)
+    feedback: List[str] = []
+    forced = forced_tool_name(body.get("tool_choice"))
+    if tool_calls:
+        schema_map = build_schema_map(body.get("tools"))
+        valid, feedback = validate_tool_calls(tool_calls, schema_map, forced)
+        if forced or strict_validation_enabled():
+            tool_calls = valid
+        else:
+            feedback = []  # lenient mode: pass calls through untouched
     msg: Dict[str, Any] = {"role": "assistant", "content": "".join(content_parts)}
+    if feedback:
+        msg["content"] = (msg["content"] + "\n" + "\n".join(feedback)).strip()
     if reasoning_parts:
         msg["reasoning_content"] = "".join(reasoning_parts)
-    if parser.tool_calls:
+    if tool_calls:
         msg["tool_calls"] = [
-            _tool_call_json(tc, i) for i, tc in enumerate(parser.tool_calls)
+            _tool_call_json(tc, i) for i, tc in enumerate(tool_calls)
         ]
     if body.get("session_id"):
         su = st.session_usage.setdefault(
@@ -267,7 +319,7 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
                     "index": 0,
                     "message": msg,
                     "finish_reason": finish_reason_openai(
-                        finish_reason, bool(parser.tool_calls)
+                        finish_reason, bool(tool_calls)
                     ),
                 }
             ],
@@ -283,7 +335,11 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
 async def completions(request: web.Request) -> web.Response:
     st = _state(request)
     body = await request.json()
-    sp = sampling_from_openai(body, default_max=st.default_max_tokens)
+    sp = sampling_from_openai(
+        body, default_max=st.default_max_tokens,
+        gen_defaults=getattr(st.engine, "generation_defaults", None),
+        tool_config=st.tool_config,
+    )
     prompt = body.get("prompt", "")
     if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
         pass  # token ids accepted directly

@@ -20,19 +20,36 @@ def make_id(prefix: str) -> str:
     return f"{prefix}-{uuid.uuid4().hex[:24]}"
 
 
-def sampling_from_openai(body: Dict[str, Any], default_max: int = 1024) -> SamplingParams:
-    """OpenAI request body → SamplingParams (server/mod.rs:206-441)."""
+def sampling_from_openai(
+    body: Dict[str, Any],
+    default_max: int = 1024,
+    gen_defaults: Optional[Dict[str, Any]] = None,
+    tool_config=None,
+) -> SamplingParams:
+    """OpenAI request body → SamplingParams (server/mod.rs:206-441).
+
+    gen_defaults is the model's generation_config.json: its knobs apply
+    only where the request leaves them unset (reference config.rs:735-757
+    applies GenerationConfig to unset sampling fields)."""
+    gd = gen_defaults or {}
+
+    def knob(name: str, fallback):
+        v = body.get(name)
+        if v is None:
+            v = gd.get(name)
+        return fallback if v is None else v
+
     sp = SamplingParams(
-        temperature=body.get("temperature", 1.0) if body.get("temperature") is not None else 1.0,
-        top_p=body.get("top_p", 1.0) or 1.0,
-        top_k=body.get("top_k", 0) or 0,
-        min_p=body.get("min_p", 0.0) or 0.0,
+        temperature=knob("temperature", 1.0),
+        top_p=knob("top_p", 1.0) or 1.0,
+        top_k=knob("top_k", 0) or 0,
+        min_p=knob("min_p", 0.0) or 0.0,
         max_tokens=body.get("max_tokens")
         or body.get("max_completion_tokens")
         or default_max,
-        frequency_penalty=body.get("frequency_penalty", 0.0) or 0.0,
-        presence_penalty=body.get("presence_penalty", 0.0) or 0.0,
-        repetition_penalty=body.get("repetition_penalty", 1.0) or 1.0,
+        frequency_penalty=knob("frequency_penalty", 0.0) or 0.0,
+        presence_penalty=knob("presence_penalty", 0.0) or 0.0,
+        repetition_penalty=knob("repetition_penalty", 1.0) or 1.0,
         seed=body.get("seed"),
     )
     stop = body.get("stop")
@@ -57,15 +74,16 @@ def sampling_from_openai(body: Dict[str, Any], default_max: int = 1024) -> Sampl
     # (reference tools/schema.rs builds an llguidance tool-call grammar)
     if sp.constraint is None and body.get("tools"):
         sp.constraint = tool_call_constraint(
-            body["tools"], body.get("tool_choice", "auto")
+            body["tools"], body.get("tool_choice", "auto"), tool_config
         )
     return sp
 
 
-def tool_call_constraint(tools, tool_choice):
+def tool_call_constraint(tools, tool_choice, tool_config=None):
     """tool_choice "required"/{"function": {...}} → a constraint forcing a
-    syntactically valid <tool_call>{...}</tool_call> body. "auto"/None → no
-    constraint (the model may or may not call tools)."""
+    syntactically valid tool-call body in the MODEL FAMILY'S format
+    (markers/style from its ToolConfig — the reference builds per-format
+    grammars in tools/schema.rs). "auto"/None → no constraint."""
     if tool_choice in (None, "auto", "none"):
         return None
     names = [
@@ -77,7 +95,14 @@ def tool_call_constraint(tools, tool_choice):
             names = [fn]
     if not names:
         return None
-    return ("tool_call", tuple(names))
+    spec = {"names": tuple(names)}
+    if tool_config is not None:
+        spec["start"] = tool_config.tool_start
+        spec["end"] = tool_config.tool_end
+        spec["style"] = (
+            "mistral" if tool_config.strategy == "mistral" else "json"
+        )
+    return ("tool_call", spec)
 
 
 def openai_chunk(

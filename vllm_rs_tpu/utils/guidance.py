@@ -573,15 +573,36 @@ def build_constraint(kind: str, arg) -> CharAutomaton:
             return RegexAutomaton(rx)
         return JsonAutomaton()
     if kind == "tool_call":
-        # forced tool call (reference tools/schema.rs grammar): arg = names
-        names = list(arg)
+        # forced tool call (reference tools/schema.rs grammar). arg is
+        # either a plain name list (legacy: ChatML markers) or a spec dict
+        # {"names", "start", "end", "style"} carrying the model family's
+        # markers so the forced output matches what its parser expects
+        if isinstance(arg, dict):
+            names = list(arg["names"])
+            start = arg.get("start", "<tool_call>")
+            end = arg.get("end", "</tool_call>")
+            style = arg.get("style", "json")
+        else:
+            names = list(arg)
+            start, end, style = "<tool_call>", "</tool_call>", "json"
+        if style == "mistral":
+            # [TOOL_CALLS][{...}] — the end marker IS the array's bracket
+            return ChainAutomaton(
+                [
+                    _literal(start + '[{"name": "'),
+                    ChoiceAutomaton(names),
+                    _literal('", "arguments": '),
+                    JsonAutomaton(),
+                    _literal("}]"),
+                ]
+            )
         return ChainAutomaton(
             [
-                _literal('<tool_call>{"name": "'),
+                _literal(start + '{"name": "'),
                 ChoiceAutomaton(names),
                 _literal('", "arguments": '),
                 JsonAutomaton(),
-                _literal('}</tool_call>'),
+                _literal("}" + end),
             ]
         )
     raise ValueError(f"unknown constraint kind {kind!r}")
