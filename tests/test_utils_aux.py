@@ -60,5 +60,30 @@ def test_tool_buffer_timeout_flushes(monkeypatch):
     time.sleep(0.02)
     events = parser.push("still no end marker")
     kinds = [k for k, _ in events]
-    assert kinds == ["content"]  # flushed raw, stream unblocked
+    assert all(k == "content" for k in kinds)  # flushed raw, stream unblocked
+    assert "".join(p for _, p in events) == '<tool_call>{"name": still no end marker'
     assert parser.state == parser.NORMAL
+
+
+class TestGenerationDefaults:
+    def test_defaults_apply_to_unset_knobs(self):
+        from vllm_rs_tpu.server.protocol import sampling_from_openai
+
+        gd = {"temperature": 0.6, "top_p": 0.95, "top_k": 20}
+        sp = sampling_from_openai({}, gen_defaults=gd)
+        assert sp.temperature == 0.6
+        assert sp.top_p == 0.95
+        assert sp.top_k == 20
+
+    def test_request_overrides_defaults(self):
+        from vllm_rs_tpu.server.protocol import sampling_from_openai
+
+        gd = {"temperature": 0.6}
+        sp = sampling_from_openai({"temperature": 0.0}, gen_defaults=gd)
+        assert sp.temperature == 0.0
+
+    def test_no_defaults_fallback(self):
+        from vllm_rs_tpu.server.protocol import sampling_from_openai
+
+        sp = sampling_from_openai({})
+        assert sp.temperature == 1.0

@@ -51,19 +51,26 @@ class EngineBuilder:
         from vllm_rs_tpu.core.engine import LLMEngine
         from vllm_rs_tpu.core.runner import ModelRunner
 
-        path = os.path.expanduser(self.model_path)
-        if path.endswith(".gguf"):
+        # model path or HF Hub id → local artifacts (reference downloader.rs;
+        # CLI --m <id> / --w <path> duality). Local paths pass through; hub
+        # ids download when egress exists, else error with guidance.
+        from vllm_rs_tpu.utils.download import resolve_model
+
+        mp = resolve_model(os.path.expanduser(self.model_path))
+        path = mp.model_dir
+        if mp.is_gguf:
             from vllm_rs_tpu.utils.loader import load_gguf_model
 
+            gguf_path = mp.weight_files[0]
             model, params = load_gguf_model(
-                path, quant=self.quant, quant_group=self.quant_group,
+                gguf_path, quant=self.quant, quant_group=self.quant_group,
                 block_size=self.block_size,
             )
-            tokenizer = _tokenizer_near(os.path.dirname(path))
+            tokenizer = _tokenizer_near(path)
             if tokenizer is None:  # reconstruct from GGUF metadata
                 from vllm_rs_tpu.utils.gguf import GGUFFile, tokenizer_from_gguf
 
-                tokenizer = tokenizer_from_gguf(GGUFFile(path))
+                tokenizer = tokenizer_from_gguf(GGUFFile(gguf_path))
         else:
             from vllm_rs_tpu.utils.loader import load_model
 
@@ -106,10 +113,9 @@ class EngineBuilder:
         runner = ModelRunner(model, params, econfig, mesh=mesh)
         engine = LLMEngine(econfig, runner, tokenizer=tokenizer)
         # generation_config.json defaults (reference GenerationConfig,
-        # config.rs:735-757): used by servers for unset sampling knobs
-        gc_path = os.path.join(path, "generation_config.json") if os.path.isdir(path) else None
-        if gc_path and os.path.exists(gc_path):
-            with open(gc_path) as f:
+        # config.rs:735-757): applied by the servers to unset sampling knobs
+        if mp.generation_config:
+            with open(mp.generation_config) as f:
                 engine.generation_defaults = json.load(f)
         else:
             engine.generation_defaults = {}

@@ -36,6 +36,34 @@ def main() -> None:
     ap.add_argument("--pd-client", default=None, metavar="HOST:PORT",
                     help="offload long prefills to a PD server")
     ap.add_argument("--pd-min-prompt", type=int, default=128)
+    # multi-host SPMD serving (SURVEY hard-part #2; parallel/multihost.py)
+    ap.add_argument("--multihost", action="store_true",
+                    help="serve one model sharded across multiple hosts "
+                    "(rank 0 = HTTP leader, others headless followers)")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="jax.distributed coordinator (auto-detected on "
+                    "Cloud TPU when omitted)")
+    ap.add_argument("--num-hosts", type=int, default=None)
+    ap.add_argument("--host-rank", type=int, default=None)
+    ap.add_argument("--feed-port", type=int, default=18533,
+                    help="leader's step-marker feed port")
+    ap.add_argument("--feed-host", default=None,
+                    help="leader hostname for followers (defaults to the "
+                    "coordinator host)")
+    # interactive / bench modes (reference main.rs:44-103 --i / --batch)
+    ap.add_argument("--i", dest="interactive", action="store_true",
+                    help="interactive chat loop on stdin instead of serving")
+    ap.add_argument("--batch", type=int, default=0, metavar="N",
+                    help="run an N-request throughput bench and exit")
+    ap.add_argument("--batch-prompt-len", type=int, default=64)
+    ap.add_argument("--batch-max-tokens", type=int, default=128)
+    ap.add_argument("--warmup", choices=["none", "decode", "full"], default="decode",
+                    help="pre-compile bucket programs before serving "
+                    "(reference CUDA-graph warmup_capture, runner.rs:1612)")
+    ap.add_argument("--tool-parser", default="",
+                    help="override the tool-call body format (reference "
+                    "--enforce-parser): json|pythonic|llama|mistral|gemma|"
+                    "gemma4|minimax")
     ap.add_argument("--log-level", default="INFO")
     args = ap.parse_args()
 
@@ -43,6 +71,12 @@ def main() -> None:
         level=args.log_level,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+
+    if args.multihost:
+        # must run BEFORE any jax device use — makes jax.devices() global
+        from vllm_rs_tpu.parallel.multihost import init_distributed
+
+        init_distributed(args.coordinator, args.num_hosts, args.host_rank)
 
     from vllm_rs_tpu.api import EngineBuilder
     from vllm_rs_tpu.server.app import run_server
@@ -68,6 +102,49 @@ def main() -> None:
         tpl = ChatTemplate.from_tokenizer_config(
             tc_path, engine.econfig.model.model_type
         )
+    if args.multihost:
+        import jax
+
+        from vllm_rs_tpu.parallel.multihost import StepFeed, StepFollower
+
+        assert args.pd_server is None and args.pd_client is None, (
+            "PD disaggregation and multi-host serving cannot be combined"
+        )
+        if jax.process_index() == 0:
+            feed = StepFeed(port=args.feed_port)
+            engine.enable_multihost_leader(feed)
+            n_followers = jax.process_count() - 1
+            logging.getLogger(__name__).info(
+                "multihost leader: waiting for %d followers on :%d",
+                n_followers, feed.port,
+            )
+            feed.wait_followers(n_followers, timeout=600)
+        else:
+            host = args.feed_host or (
+                args.coordinator.split(":")[0] if args.coordinator else "localhost"
+            )
+            follower = StepFollower((host, args.feed_port))
+            engine.enable_multihost_follower(follower)
+            engine.start_loop()
+            logging.getLogger(__name__).info(
+                "multihost follower %d serving headless", jax.process_index()
+            )
+            import signal
+
+            signal.pause()
+            return
+    if args.batch:
+        _run_batch_bench(engine, tpl, args)
+        return
+    sched = engine.econfig.scheduler
+    engine.runner.warmup(
+        mode=args.warmup,
+        multi_step=sched.multi_step_decode,
+        spec_k=sched.spec_decode_k,
+    )
+    if args.interactive:
+        _run_interactive(engine, tpl)
+        return
     if args.pd_server is not None:
         from vllm_rs_tpu.transfer import PdServer
 
@@ -93,7 +170,85 @@ def main() -> None:
     name = args.served_model_name or os.path.basename(os.path.normpath(args.model))
     run_server(
         engine, host=args.host, port=args.port, model_name=name,
-        chat_template=tpl, mcp=mcp,
+        chat_template=tpl, mcp=mcp, tool_parser=args.tool_parser,
+    )
+
+
+def _run_interactive(engine, tpl) -> None:
+    """Interactive chat REPL (reference main.rs --i interactive mode):
+    multi-turn history, streamed tokens to stdout, /clear and /exit."""
+    import queue as _q
+
+    from vllm_rs_tpu.config import SamplingParams
+    from vllm_rs_tpu.utils.chat_template import ChatTemplate
+
+    tpl = tpl or ChatTemplate(model_type=engine.econfig.model.model_type)
+    engine.start_loop()
+    history = []
+    print("interactive mode — /clear resets history, /exit quits", flush=True)
+    try:
+        while True:
+            try:
+                line = input(">>> ").strip()
+            except EOFError:
+                break
+            if not line:
+                continue
+            if line in ("/exit", "/quit"):
+                break
+            if line == "/clear":
+                history.clear()
+                continue
+            history.append({"role": "user", "content": line})
+            prompt = tpl.render(history, add_generation_prompt=True)
+            sid = engine.add_request(prompt, SamplingParams(max_tokens=1024))
+            stream = engine.get_stream(sid)
+            reply = []
+            while True:
+                try:
+                    item = stream.get(timeout=120)
+                except _q.Empty:
+                    print("\n[timed out]", flush=True)
+                    engine.abort_request(sid)
+                    break
+                if item.text:
+                    print(item.text, end="", flush=True)
+                    reply.append(item.text)
+                if item.finished:
+                    print(flush=True)
+                    break
+            history.append({"role": "assistant", "content": "".join(reply)})
+    finally:
+        engine.stop_loop()
+
+
+def _run_batch_bench(engine, tpl, args) -> None:
+    """N-request throughput bench (reference main.rs --batch, prompt/decode
+    tokens-per-second print at main.rs:480-494)."""
+    import time
+
+    import numpy as np
+
+    from vllm_rs_tpu.config import SamplingParams
+
+    n = args.batch
+    plen = args.batch_prompt_len
+    rs = np.random.RandomState(0)
+    vocab = engine.econfig.model.vocab_size
+    prompts = [list(rs.randint(1, max(2, vocab - 10), size=plen)) for _ in range(n)]
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=args.batch_max_tokens, ignore_eos=True
+    )
+    t0 = time.time()
+    outs = engine.generate(prompts, sp)
+    dt = time.time() - t0
+    prompt_tokens = sum(len(p) for p in prompts)
+    decode_tokens = sum(len(o.output_token_ids) for o in outs)
+    print(
+        f"batch {n}: {prompt_tokens} prompt + {decode_tokens} decode tokens "
+        f"in {dt:.2f}s → {(prompt_tokens + decode_tokens) / dt:.2f} tok/s total, "
+        f"{decode_tokens / dt:.2f} decode tok/s",
+        flush=True,
     )
 
 
