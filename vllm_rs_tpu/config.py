@@ -472,6 +472,15 @@ class SamplingParams:
     logprobs: Optional[int] = None
     # guided decoding constraint (see utils/guidance.py): ("json", schema) etc.
     constraint: Optional[tuple] = None
+    # structured reasoning (reference utils/reasoning.rs + server/mod.rs
+    # normalize_reasoning_controls): effort level none/low/medium/high/
+    # chain_of_thought; budget is a char budget override (Claude
+    # thinking.budget_tokens maps here); think_markers is the (start, end)
+    # marker pair — the server sets it from tokenizer discovery and clears
+    # reasoning_effort when the tokenizer exposes no reasoning tokens
+    reasoning_effort: Optional[str] = None
+    reasoning_budget: Optional[int] = None
+    think_markers: Optional[tuple] = None
     # include stop string in output
     include_stop_str_in_output: bool = False
 
@@ -491,6 +500,8 @@ class SamplingParams:
             if isinstance(arg, list):
                 arg = tuple(arg)
             sp.constraint = (kind, arg)
+        if sp.think_markers is not None:
+            sp.think_markers = tuple(sp.think_markers)
         return sp
 
     def to_dict(self) -> dict:
@@ -504,6 +515,8 @@ class SamplingParams:
             if isinstance(arg, tuple):
                 arg = list(arg)
             d["constraint"] = [kind, arg]
+        if self.think_markers is not None:
+            d["think_markers"] = list(self.think_markers)
         return d
 
 

@@ -156,8 +156,8 @@ class LLMEngine:
             if isinstance(a, dict):  # follower: reconstruct the sequence
                 sp = SamplingParams.from_dict(a["sampling"])
                 seq = Sequence(a["token_ids"], sp, seq_id=a["seq_id"])
-                if sp.constraint is not None:
-                    seq.guidance = self._make_guidance(sp.constraint)
+                if sp.constraint is not None or sp.reasoning_effort:
+                    seq.guidance = self._make_guidance(sp)
                 self.requests[seq.seq_id] = _RequestState(seq, None)
                 self.total_prompt_tokens += seq.prompt_len
             else:  # leader: already constructed + registered
@@ -268,6 +268,7 @@ class LLMEngine:
             and pd.should_offload(token_ids)
             and not images
             and sp.constraint is None
+            and not sp.reasoning_effort
         ):
             return pd.prefill_remote(list(token_ids), sp)
         image_seed = None
@@ -281,8 +282,8 @@ class LLMEngine:
         seq = Sequence(token_ids, sp, image_seed=image_seed)
         if images:
             self._attach_images(seq, images, token_ids)
-        if sp.constraint is not None:
-            seq.guidance = self._make_guidance(sp.constraint)
+        if sp.constraint is not None or sp.reasoning_effort:
+            seq.guidance = self._make_guidance(sp)
         if self.is_hybrid and self.mh_role is None:
             with self._lock:
                 if not self._mamba_free:
@@ -330,13 +331,16 @@ class LLMEngine:
                 token_ids, images
             )
 
-    def _make_guidance(self, constraint):
-        """Build a GuidanceState (reference build_llg_factory + per-seq
-        GuidanceState, engine.rs + core/runner.rs:188-330)."""
+    def _make_guidance(self, sp):
+        """Build a GuidanceState from the request's constraint and/or
+        reasoning-effort controls (reference build_llg_factory + per-seq
+        GuidanceState, engine.rs + core/runner.rs:188-330; reasoning block
+        composition per utils/reasoning.rs)."""
         from vllm_rs_tpu.utils.guidance import (
             GuidanceState,
             TokenTrie,
             build_constraint,
+            wrap_with_reasoning,
         )
 
         assert self.tokenizer is not None, "guided decoding needs a tokenizer"
@@ -344,8 +348,21 @@ class LLMEngine:
             self._token_trie = TokenTrie.from_tokenizer(
                 self.tokenizer, self.econfig.model.vocab_size
             )
-        kind, arg = constraint
-        automaton = build_constraint(kind, arg)
+
+        def token_decoder(tid: int) -> str:
+            return self.tokenizer.decode([tid])
+
+        automaton = None
+        if sp.constraint is not None:
+            kind, arg = sp.constraint
+            automaton = build_constraint(kind, arg, token_decoder)
+        if sp.reasoning_effort or sp.reasoning_budget:
+            start, end = sp.think_markers or ("<think>", "</think>")
+            automaton = wrap_with_reasoning(
+                automaton, sp.reasoning_effort, start, end, sp.reasoning_budget
+            )
+        if automaton is None:
+            return None
         return GuidanceState(
             automaton, self._token_trie, self.econfig.model.eos_token_ids
         )

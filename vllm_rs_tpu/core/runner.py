@@ -422,7 +422,10 @@ class ModelRunner:
                     m[i] = True
                 else:
                     allowed = g.allowed_tokens()
-                    m[i, np.asarray(allowed, dtype=np.int64)] = True
+                    if allowed is None:  # open state: unconstrained row
+                        m[i] = True
+                    else:
+                        m[i, np.asarray(allowed, dtype=np.int64)] = True
             mask = jnp.asarray(m)
         st = SamplingState(
             temperature=jnp.asarray(temperature),

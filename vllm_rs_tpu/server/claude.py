@@ -129,15 +129,37 @@ async def messages(request: web.Request) -> web.StreamResponse:
         if tc_type == "tool":
             names = [tool_choice.get("name")] if tool_choice.get("name") else names
         if names:
-            sp.constraint = (
-                "tool_call",
-                {
-                    "names": tuple(names),
-                    "start": st.tool_config.tool_start,
-                    "end": st.tool_config.tool_end,
-                    "style": "mistral" if st.tool_config.strategy == "mistral" else "json",
-                },
-            )
+            by_name = {t["function"]["name"]: t["function"] for t in tools}
+            schemas = {
+                n: by_name[n]["parameters"]
+                for n in names
+                if isinstance(by_name.get(n, {}).get("parameters"), dict)
+                and by_name[n]["parameters"]
+            }
+            spec = {
+                "names": tuple(names),
+                "start": st.tool_config.tool_start,
+                "end": st.tool_config.tool_end,
+                "style": "mistral" if st.tool_config.strategy == "mistral" else "json",
+            }
+            if schemas:
+                spec["schemas"] = schemas
+            sp.constraint = ("tool_call", spec)
+    # extended thinking (claude_server.rs thinking budget): budget_tokens
+    # maps to a char budget on the structured reasoning block; requires the
+    # tokenizer to expose reasoning tokens (normalize_reasoning_controls)
+    thinking = body.get("thinking") or {}
+    if (
+        isinstance(thinking, dict)
+        and thinking.get("type") == "enabled"
+        and st.tool_config.reasoning_markers is not None
+    ):
+        sp.reasoning_effort = "medium"
+        sp.think_markers = tuple(st.tool_config.reasoning_markers)
+        budget = thinking.get("budget_tokens")
+        if isinstance(budget, int) and budget > 0:
+            # ~4 chars per token: char-level automaton budget analog
+            sp.reasoning_budget = budget * 4
     try:
         msgs, images = _messages_from_claude(body, st)
         prompt = st.chat_template.render(

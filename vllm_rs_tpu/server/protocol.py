@@ -76,6 +76,15 @@ def sampling_from_openai(
         sp.constraint = tool_call_constraint(
             body["tools"], body.get("tool_choice", "auto"), tool_config
         )
+    # reasoning controls (reference server/mod.rs:415-462
+    # normalize_reasoning_controls): honored only when the tokenizer exposes
+    # dedicated reasoning tokens; silently dropped otherwise, like the ref
+    effort = body.get("reasoning_effort")
+    if effort and str(effort).lower() != "none":
+        markers = getattr(tool_config, "reasoning_markers", None)
+        if markers is not None:
+            sp.reasoning_effort = str(effort).lower()
+            sp.think_markers = tuple(markers)
     return sp
 
 
@@ -86,16 +95,26 @@ def tool_call_constraint(tools, tool_choice, tool_config=None):
     grammars in tools/schema.rs). "auto"/None → no constraint."""
     if tool_choice in (None, "auto", "none"):
         return None
-    names = [
-        t["function"]["name"] for t in tools if t.get("type") == "function"
-    ]
+    fns = [t["function"] for t in tools if t.get("type") == "function"]
+    names = [f["name"] for f in fns]
     if isinstance(tool_choice, dict):
         fn = (tool_choice.get("function") or {}).get("name")
         if fn:
             names = [fn]
     if not names:
         return None
+    # per-tool parameter schemas constrain the arguments object itself
+    # (reference tools/schema.rs compiles each tool's JSON schema into the
+    # llguidance grammar, not just the name)
+    schemas = {
+        f["name"]: f["parameters"]
+        for f in fns
+        # empty {} means "any arguments" — leave those unconstrained
+        if f["name"] in names and isinstance(f.get("parameters"), dict) and f["parameters"]
+    }
     spec = {"names": tuple(names)}
+    if schemas:
+        spec["schemas"] = schemas
     if tool_config is not None:
         spec["start"] = tool_config.tool_start
         spec["end"] = tool_config.tool_end

@@ -72,6 +72,11 @@ class ToolConfig:
     # ids to push(), literal marker text does NOT trigger (strict mode)
     start_token_ids: frozenset = frozenset()
     end_token_ids: frozenset = frozenset()
+    # (start, end) think-marker pair that exists as dedicated tokenizer
+    # tokens — reasoning_effort grammars require this (reference
+    # server/mod.rs:443-462 normalize_reasoning_controls disables the
+    # reasoning grammar when the tokenizer exposes no reasoning tokens)
+    reasoning_markers: Optional[Tuple[str, str]] = None
 
     @property
     def think_starts(self) -> Tuple[str, ...]:
@@ -164,6 +169,7 @@ class ToolConfig:
         }
         thinks = [m for m in _THINK_START_CANDIDATES if single_id(m) is not None]
         think_ends = [m for m in _THINK_END_CANDIDATES if single_id(m) is not None]
+        reasoning = (thinks[0], think_ends[0]) if thinks and think_ends else None
         return replace(
             self,
             start_token_ids=frozenset(start_ids),
@@ -174,6 +180,7 @@ class ToolConfig:
             alt_think_ends=tuple(
                 m for m in think_ends if m not in self.think_ends
             ),
+            reasoning_markers=reasoning,
         )
 
 
