@@ -59,6 +59,12 @@ class _RequestState:
         self.seq = seq
         self.detok = detok
         self.text = ""
+        # prompt-replay tokens (reference engine.rs:731-791): the prompt's
+        # trailing generation-prompt suffix (e.g. "<think>\n") prepended to
+        # the first emitted delta so the client's assistant message — and
+        # therefore the next turn's template re-render — matches the served
+        # prompt+output token-for-token, keeping prefix-cache hits alive
+        self.replay_ids: Optional[List[int]] = None
         self.stream: "queue.Queue[StreamItem]" = queue.Queue()
         self.stop_strings = tuple(seq.sampling_params.stop or ())
         # stop-string scan resumes here each token; advanced so that only a
@@ -239,6 +245,21 @@ class LLMEngine:
     # admission (reference add_request, engine.rs:687-810)
     # ------------------------------------------------------------------
 
+    def set_prompt_replay_candidates(self, candidates) -> None:
+        """Install generation-prompt replay suffixes (token id lists).
+        The server computes these from the chat template at startup
+        (reference build_prompt_replay_candidates, engine.rs:731-777);
+        longest-first so the most specific suffix wins."""
+        self._replay_candidates = sorted(
+            {tuple(c) for c in candidates if c}, key=len, reverse=True
+        )
+
+    def _match_replay_candidate(self, token_ids) -> Optional[List[int]]:
+        for cand in getattr(self, "_replay_candidates", ()):
+            if len(token_ids) >= len(cand) and tuple(token_ids[-len(cand):]) == cand:
+                return list(cand)
+        return None
+
     def add_request(
         self,
         prompt: Union[str, List[int]],
@@ -294,7 +315,9 @@ class LLMEngine:
             IncrementalDetokenizer(self.tokenizer) if self.tokenizer is not None else None
         )
         with self._lock:
-            self.requests[seq.seq_id] = _RequestState(seq, detok)
+            st = _RequestState(seq, detok)
+            st.replay_ids = self._match_replay_candidate(token_ids)
+            self.requests[seq.seq_id] = st
             if self.mh_role == "leader":
                 # admission is deferred to the next step boundary where it
                 # is broadcast + applied (multi-host determinism contract)
@@ -476,7 +499,13 @@ class LLMEngine:
                 continue
             text = ""
             if st.detok is not None:
-                text = st.detok.push(tok)
+                if st.replay_ids:
+                    # replay the prompt's generation-suffix tokens ahead of
+                    # the first output delta (engine.rs:1034-1037); they are
+                    # prompt tokens, so they don't count toward output usage
+                    text = "".join(st.detok.push(t) for t in st.replay_ids)
+                    st.replay_ids = None
+                text += st.detok.push(tok)
                 st.text += text
                 if not seq.is_finished and st.stop_strings:
                     hit = self._find_stop_string(st)

@@ -20,6 +20,67 @@ from vllm_rs_tpu.utils.chat_template import ChatTemplate
 logger = logging.getLogger(__name__)
 
 
+def trim_prompt_replay_prefix(ids, reasoning_ids):
+    """Trim a candidate replay suffix to start at its first reasoning-marker
+    token; candidates with no reasoning token are rejected — replaying
+    arbitrary prompt text into the output would corrupt plain completions
+    (reference engine.rs:721-729)."""
+    for i, t in enumerate(ids):
+        if t in reasoning_ids:
+            return list(ids[i:])
+    return None
+
+
+def build_prompt_replay_candidates(chat_template, tokenizer, tool_config):
+    """Token-id replay suffixes for this template/tokenizer, longest first
+    (reference build_prompt_replay_candidates, engine.rs:731-777): rendered
+    for both enable_thinking variants, tokenized, trimmed to the reasoning
+    marker."""
+
+    def single_id(text):
+        # markers must be real single vocab tokens — a WordLevel/BPE unk
+        # fallback would alias every unknown marker onto one bogus id
+        if hasattr(tokenizer, "token_to_id"):
+            tid = tokenizer.token_to_id(text)
+            return int(tid) if tid is not None else None
+        try:
+            enc = tokenizer.encode(text)
+        except Exception:
+            return None
+        ids = enc.ids if hasattr(enc, "ids") else enc
+        if len(ids) != 1:
+            return None
+        try:
+            if tokenizer.decode(ids, skip_special_tokens=False) != text:
+                return None
+        except Exception:
+            pass
+        return int(ids[0])
+
+    reasoning_ids = {
+        i
+        for m in tool_config.think_starts + tool_config.think_ends
+        for i in (single_id(m),)
+        if i is not None
+    }
+    if not reasoning_ids:
+        return []
+    candidates = []
+    for enable_thinking in (True, False):
+        suffix = chat_template.generation_prompt_replay_suffix(
+            enable_thinking=enable_thinking
+        )
+        if not suffix:
+            continue
+        enc = tokenizer.encode(suffix)
+        ids = enc.ids if hasattr(enc, "ids") else enc
+        trimmed = trim_prompt_replay_prefix(list(ids), reasoning_ids)
+        if trimmed and trimmed not in candidates:
+            candidates.append(trimmed)
+    candidates.sort(key=len, reverse=True)
+    return candidates
+
+
 class ServerState:
     def __init__(
         self,
@@ -49,6 +110,18 @@ class ServerState:
             if engine.tokenizer is not None:
                 tool_config = tool_config.with_tokenizer(engine.tokenizer)
         self.tool_config = tool_config
+        # multi-turn prefix continuation (reference engine.rs:731-791):
+        # replay the generation-prompt suffix into outputs so next-turn
+        # re-renders stay token-identical with the served prompt+output
+        if engine.tokenizer is not None:
+            try:
+                cands = build_prompt_replay_candidates(
+                    self.chat_template, engine.tokenizer, self.tool_config
+                )
+            except Exception:
+                cands = []
+            if cands:
+                engine.set_prompt_replay_candidates(cands)
         self.default_max_tokens = default_max_tokens
         # MCP manager (reference server/mod.rs:1016-1127 MCP tool execution)
         self.mcp = mcp

@@ -61,6 +61,18 @@ def _raise_exception(msg):
     raise jinja2.exceptions.TemplateError(msg)
 
 
+def _strip_generation_assistant_header(suffix_text: str) -> str:
+    """Drop the assistant-role header line from a generation-prompt suffix,
+    keeping only what follows it (reference chat_template.rs:228-244)."""
+    first_line, sep, remainder = suffix_text.partition("\n")
+    if not sep:
+        return suffix_text
+    # ChatML/Qwen-style "<|im_start|>assistant", MiniMax "]~b]ai"
+    if first_line.endswith("assistant") or "]~b]" in first_line or first_line.endswith("ai"):
+        return remainder
+    return suffix_text
+
+
 class ChatTemplate:
     """Render OpenAI-style message lists into a model prompt string."""
 
@@ -124,3 +136,25 @@ class ChatTemplate:
             eos_token=self.eos_token,
             **extra,
         )
+
+    def generation_prompt_replay_suffix(
+        self,
+        tools: Optional[List[dict]] = None,
+        **extra,
+    ) -> Optional[str]:
+        """The text the template appends AFTER the assistant header when
+        opening a generation — e.g. qwen3's "<think>\\n" (thinking) or
+        "<think>\\n\\n</think>\\n\\n" (non-thinking). These chars live in the
+        PROMPT but belong to the assistant's response: replaying them into
+        the output keeps next-turn template re-renders token-identical with
+        the served prompt+output (reference chat_template.rs:466-484)."""
+        probe = [{"role": "user", "content": "__VLLM_RS_TPU_REPLAY_PROBE__"}]
+        try:
+            with_gen = self.render(probe, add_generation_prompt=True, tools=tools, **extra)
+            without = self.render(probe, add_generation_prompt=False, tools=tools, **extra)
+        except Exception:
+            return None
+        if not with_gen.startswith(without):
+            return None
+        suffix = _strip_generation_assistant_header(with_gen[len(without):])
+        return suffix or None
