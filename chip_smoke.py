@@ -17,11 +17,13 @@ from vllm_rs_tpu.core.engine import LLMEngine
 from vllm_rs_tpu.core.runner import ModelRunner
 
 
-def engine_for(cfg, cls, *, quant=None, mamba_slots=0, block_size=16):
+def engine_for(cfg, cls, *, quant=None, mamba_slots=0, block_size=16,
+               kv_dtype="bfloat16"):
     # TPU-realistic dims: head_dim 128, lane-aligned features
     ecfg = EngineConfig(
         model=cfg,
-        cache=CacheConfig(block_size=block_size, num_blocks=64, mamba_slots=mamba_slots),
+        cache=CacheConfig(block_size=block_size, num_blocks=64,
+                          mamba_slots=mamba_slots, kv_dtype=kv_dtype),
         scheduler=SchedulerConfig(
             max_num_seqs=4, chunk_size=128, max_model_len=512,
             prefill_buckets=(32, 128), multi_step_decode=4,
@@ -63,6 +65,32 @@ def llama_int4():
         head_dim=128, vocab_size=256, eos_token_ids=(0,),
     )
     drive("llama-int4", engine_for(cfg, CausalLM, quant="int4"))
+
+
+@case
+def llama_fp8_kv():
+    # fp8-e4m3 KV pool: the Mosaic kernels convert fp8 pages in-kernel —
+    # interpret-mode tests cannot verify the fp8 load/convert lowering
+    from vllm_rs_tpu.models.llama import CausalLM
+
+    cfg = ModelConfig(
+        model_type="llama", hidden_size=512, intermediate_size=1024,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=128, vocab_size=256, eos_token_ids=(0,),
+    )
+    drive("llama-fp8kv", engine_for(cfg, CausalLM, kv_dtype="float8_e4m3fn"))
+
+
+@case
+def llama_int8_kv():
+    from vllm_rs_tpu.models.llama import CausalLM
+
+    cfg = ModelConfig(
+        model_type="llama", hidden_size=512, intermediate_size=1024,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=128, vocab_size=256, eos_token_ids=(0,),
+    )
+    drive("llama-int8kv", engine_for(cfg, CausalLM, kv_dtype="int8"))
 
 
 @case

@@ -51,7 +51,11 @@ class DeepseekV3(MoECausalLM):
     # ------------------------------------------------------------------
 
     def init_kv_cache(self, cache, dtype=None):
-        """Compressed latent cache: [L, num_slots, R + P]."""
+        """Compressed latent cache: [L, num_slots, R + P]. fp8-e4m3 is
+        supported (reads convert on the fly, ops/mla.py); int8's paired
+        layout is not (resolve_kv_dtype rejects it with a clear error)."""
+        from vllm_rs_tpu.ops.kv_cache import resolve_kv_dtype
+
         cfg = self.config
         return jnp.zeros(
             (
@@ -59,7 +63,7 @@ class DeepseekV3(MoECausalLM):
                 cache.num_slots,
                 cfg.kv_lora_rank + cfg.qk_rope_head_dim,
             ),
-            dtype=dtype or jnp.bfloat16,
+            dtype=resolve_kv_dtype(dtype),
         )
 
     def _attn_params(self, keys, L, dtype, quant, group):

@@ -98,16 +98,19 @@ class Gemma4ForCausalLM(CausalLM):
     # ------------------------------------------------------------------
 
     def init_kv_cache(self, cache, dtype=None):
+        from vllm_rs_tpu.ops.kv_cache import resolve_kv_dtype
+
+        dt = resolve_kv_dtype(dtype)
         out = {}
         if self.num_swa:
             out["swa"] = jnp.zeros(
                 (self.num_swa, 2, cache.num_slots, self.Hk_s * self.D_s),
-                dtype=dtype or jnp.bfloat16,
+                dtype=dt,
             )
         if self.num_full:
             out["full"] = jnp.zeros(
                 (self.num_full, 2, cache.num_slots, self.Hk_g * self.D_g),
-                dtype=dtype or jnp.bfloat16,
+                dtype=dt,
             )
         return out
 

@@ -81,6 +81,8 @@ class Qwen3NextForCausalLM(CausalLM):
     # ------------------------------------------------------------------
 
     def init_kv_cache(self, cache, dtype=None):
+        from vllm_rs_tpu.ops.kv_cache import resolve_kv_dtype
+
         cfg = self.config
         slots = getattr(cache, "mamba_slots", 64)
         return {
@@ -91,7 +93,7 @@ class Qwen3NextForCausalLM(CausalLM):
                     cache.num_slots,
                     cfg.num_key_value_heads * cfg.head_dim_,
                 ),
-                dtype=dtype or jnp.bfloat16,
+                dtype=resolve_kv_dtype(dtype),
             ),
             "conv": jnp.zeros(
                 (self.num_gdn, slots, self.conv_dim, self.conv_k - 1),
@@ -272,8 +274,12 @@ class Qwen3NextForCausalLM(CausalLM):
             )
             z_h = z.reshape(B, T, Hv, dv)
 
-        conv_st = conv_st.at[slots].set(conv_rows)
-        rec_st = rec_st.at[slots].set(rec_rows)
+        # padding rows carry the out-of-bounds sentinel slot (runner
+        # prepare_*): mode="drop" discards their garbage state updates —
+        # without it a padded decode batch clobbered slot 0's live state
+        # every step (the pre-round-2 hybrid slot-0 corruption bug)
+        conv_st = conv_st.at[slots].set(conv_rows, mode="drop")
+        rec_st = rec_st.at[slots].set(rec_rows, mode="drop")
 
         o = gated_rmsnorm_silu(
             o.reshape(B, -1, Hv, dv), z_h, lp["gdn_norm"], cfg.rms_norm_eps

@@ -1,7 +1,9 @@
 """Paged KV cache storage.
 
 Layout (per layer, stacked over layers):
-    bf16: kv_cache [num_layers, 2, num_slots, kv_heads * head_dim]
+    bf16/fp8: kv_cache [num_layers, 2, num_slots, kv_heads * head_dim]
+              (dtype bfloat16 or float8_e4m3fn — fp8 is scale-free, the
+              reference's KV quant format, kvcache_allocator.rs:188-193)
     int8: (data  [num_layers, 2, num_slots, kv_heads * head_dim] int8,
            scales[num_layers, 2, num_slots, kv_heads] float32)
 with num_slots = num_blocks * block_size a flat "slot" axis and the head
@@ -37,8 +39,37 @@ import jax.numpy as jnp
 from vllm_rs_tpu.config import CacheConfig, ModelConfig
 from vllm_rs_tpu.ops.kv_quant import dequantize_kv_rows, quantize_kv_rows
 
-# per-layer cache: bf16 array [2, S, Hk*D] or (int8 data, f32 scales) pair
+# per-layer cache: float array [2, S, Hk*D] (bf16 or fp8-e4m3) or the
+# (int8 data, f32 scales) pair
 KVLayer = Union[jax.Array, Tuple[jax.Array, jax.Array]]
+
+
+def resolve_kv_dtype(dtype):
+    """Map a CLI/config kv-dtype name to a jnp dtype for PLAIN-array pools.
+
+    "int8" is NOT a plain-array dtype (it needs the paired (data, scales)
+    layout) — callers that only support single-array pools must reject it.
+    fp8-e4m3 (the reference's KV quant format, kvcache_allocator.rs:188-193)
+    is scale-free: e4m3's dynamic range covers post-norm K/V rows directly,
+    so it stores as a plain array and every consumer just converts on read.
+    """
+    if dtype is None:
+        return jnp.bfloat16
+    if isinstance(dtype, str):
+        names = {
+            "bfloat16": jnp.bfloat16,
+            "float16": jnp.float16,
+            "float8_e4m3fn": jnp.float8_e4m3fn,
+        }
+        if dtype == "int8":
+            raise ValueError(
+                "int8 KV uses the paired (data, scales) layout; this cache "
+                "only supports plain-array dtypes — use float8_e4m3fn"
+            )
+        if dtype not in names:
+            raise ValueError(f"unsupported kv dtype: {dtype!r}")
+        return names[dtype]
+    return dtype
 
 
 def init_kv_cache(
@@ -48,12 +79,12 @@ def init_kv_cache(
     L = model.num_hidden_layers
     S = cache.num_slots
     HkD = model.num_key_value_heads * model.head_dim_
-    if cache.kv_dtype in ("int8", "float8_e4m3fn"):
+    if (dtype or cache.kv_dtype) == "int8":
         return (
             jnp.zeros((L, 2, S, HkD), dtype=jnp.int8),
             jnp.zeros((L, 2, S, model.num_key_value_heads), dtype=jnp.float32),
         )
-    return jnp.zeros((L, 2, S, HkD), dtype=dtype or jnp.bfloat16)
+    return jnp.zeros((L, 2, S, HkD), dtype=resolve_kv_dtype(dtype or cache.kv_dtype))
 
 
 def is_quantized_kv(kv_l: KVLayer) -> bool:
