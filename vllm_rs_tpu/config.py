@@ -393,6 +393,11 @@ class CacheConfig:
     # recurrent-state slots for hybrid GDN models (reference
     # MAMBA_CACHE_FIXED_CAPACITY, core/runner.rs:131)
     mamba_slots: int = 64
+    # mamba prefix snapshots (core/hybrid_state.py; reference
+    # block_manager.rs:444-550): snapshot pool capacity (0 disables prefix
+    # caching for hybrids entirely) and decode capture cadence in blocks
+    mamba_snapshot_slots: int = 16
+    mamba_snapshot_interval_blocks: int = 4
 
     @property
     def num_slots(self) -> int:

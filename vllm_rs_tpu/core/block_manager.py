@@ -35,6 +35,12 @@ class BlockManager:
         self.ref_counts: List[int] = [0] * num_blocks
         self.free_list = deque(range(num_blocks))
         self.prefix_cache = PrefixCache(block_size, enabled=prefix_cache_enabled)
+        # hybrid models: called on every prompt allocation with
+        # (seq, matched_hashes) → number of matched blocks actually usable
+        # (the deepest recurrent-state snapshot boundary); also responsible
+        # for restoring/resetting the sequence's mamba slot
+        # (core/hybrid_state.py trim_hook; reference block_manager.rs:444-550)
+        self.hybrid_trim = None
 
     # -- accounting ---------------------------------------------------------
 
@@ -112,12 +118,21 @@ class BlockManager:
         a logit row for sampling), mirroring the reference.
         """
         assert not seq.block_table, "sequence already allocated"
-        matched = self.prefix_cache.match_prefix(
-            seq.prompt_token_ids, seq.image_seed
-        )
+        if self.prefix_cache.enabled:
+            hashes = self.prefix_cache.block_hashes(
+                seq.prompt_token_ids, seq.image_seed
+            )
+            matched = self.prefix_cache.match_hashes(hashes)
+        else:
+            hashes, matched = [], []
         # never cache-hit the entire prompt: leave >=1 token to compute
         while len(matched) * self.block_size >= seq.prompt_len and matched:
             matched.pop()
+        if self.hybrid_trim is not None:
+            # hybrids: only blocks up to a recurrent-state snapshot boundary
+            # are usable; the hook also restores/resets the mamba slot (a
+            # recomputed sequence's slot holds stale state otherwise)
+            matched = matched[: self.hybrid_trim(seq, hashes[: len(matched)])]
         total = self.blocks_needed(seq.prompt_len)
         fresh = total - len(matched)
         if not self._ensure_free(fresh):

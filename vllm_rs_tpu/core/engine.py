@@ -93,15 +93,36 @@ class LLMEngine:
             prefix_cache_enabled=econfig.scheduler.prefix_cache_enabled,
         )
         # hybrid GDN models: recurrent-state slot allocator (reference
-        # MambaCache slots) + prefix cache off (cached prefixes would skip
-        # the recurrent-state updates) + no CPU swap (recurrent state is
+        # MambaCache slots) + mamba prefix snapshots so cached prefixes
+        # carry their recurrent state (core/hybrid_state.py; reference
+        # block_manager.rs:444-550) + no CPU swap (recurrent state is
         # slot-resident, not block-resident)
         self.is_hybrid = any(
             t == "linear" for t in getattr(runner.model, "layer_types", ())
         )
+        self._mamba_pool = None
         if self.is_hybrid:
             self._mamba_free = list(range(econfig.cache.mamba_slots - 1, -1, -1))
-            self.block_manager.prefix_cache.enabled = False
+            if econfig.cache.mamba_snapshot_slots > 0:
+                from vllm_rs_tpu.core.hybrid_state import MambaSnapshotPool
+
+                self._mamba_pool = MambaSnapshotPool(
+                    runner,
+                    self.block_manager,
+                    econfig.cache.mamba_snapshot_slots,
+                    econfig.cache.mamba_snapshot_interval_blocks,
+                )
+                self.block_manager.hybrid_trim = self._mamba_pool.trim_hook
+                self.block_manager.prefix_cache.on_evict = (
+                    self._mamba_pool.on_evict_hash
+                )
+            else:
+                self.block_manager.prefix_cache.enabled = False
+                # still reset stale slot state on (re)allocation — a
+                # preempted-then-recomputed sequence reuses its slot
+                self.block_manager.hybrid_trim = (
+                    lambda seq, hashes: self._reset_seq_slot(seq)
+                )
         # CPU KV swap enabled via cache.num_swap_blocks (reference
         # block_manager.rs:876-1001 swap pool)
         swap_backend = (
@@ -124,6 +145,13 @@ class LLMEngine:
         # periodic throughput reporting (engine.rs:1172-1215, every 5 s)
         self._tp_last_time = time.time()
         self._tp_last_tokens = 0
+        # per-step timing ring (tracing/profiling surface; reference logs
+        # per-iteration timings in its runner loop): (kind, rows, tokens, s)
+        from collections import deque as _deque
+
+        self.step_timings = _deque(maxlen=512)
+        # optional xprof trace capture (utils/profiling.py)
+        self.profiler = None
         # ---- multi-host lockstep state (parallel/multihost.py) ----
         # role None = single host; "leader" defers every scheduler-visible
         # mutation (admission/abort/stop-finish) to its next step boundary
@@ -390,6 +418,12 @@ class LLMEngine:
             automaton, self._token_trie, self.econfig.model.eos_token_ids
         )
 
+    def _reset_seq_slot(self, seq) -> int:
+        slot = getattr(seq, "mamba_slot", None)
+        if slot is not None:
+            self.runner.reset_mamba_slot(slot)
+        return 0
+
     def _free_mamba(self, seq) -> None:
         slot = getattr(seq, "mamba_slot", None)
         if self.is_hybrid and slot is not None:
@@ -454,14 +488,25 @@ class LLMEngine:
                 self.step_index += 1
         if batch.is_empty:
             return 0
+        if self.profiler is not None:
+            self.profiler.on_step_start()
+        t_fwd = time.time()
         if batch.kind == "decode" and batch.drafts is not None:
             tokens = self.runner.run_verify(batch, batch.drafts)
         elif batch.kind == "decode" and batch.n_steps > 1:
             tokens = self.runner.run_multi(batch, batch.n_steps)
         else:
             tokens = self.runner.run(batch)
+        self.step_timings.append(
+            (batch.kind, len(batch.seqs), batch.num_tokens * batch.n_steps,
+             time.time() - t_fwd)
+        )
+        if self.profiler is not None:
+            self.profiler.on_step_end()
         with self._lock:
             emitted = self.scheduler.postprocess(batch, tokens)
+            if self._mamba_pool is not None:
+                self._mamba_pool.after_step(batch)
             self._deliver(emitted)
             self._maybe_log_throughput()
         return len(batch.seqs)
@@ -700,4 +745,26 @@ class LLMEngine:
             "kv_usage_ratio": round(bm.used_ratio, 4),
             "prefix_cache_blocks": bm.prefix_cache.num_cached_blocks,
             "active_requests": self.scheduler.num_active,
+            "step_timings": self.step_timing_stats(),
         }
+
+    def step_timing_stats(self) -> dict:
+        """Per-step latency percentiles over the last 512 steps, split by
+        step kind (the per-step timing surface of the tracing subsystem)."""
+        out: dict = {}
+        by_kind: dict = {}
+        for kind, rows, toks, dt in list(self.step_timings):
+            by_kind.setdefault(kind, []).append((dt, toks))
+        for kind, items in by_kind.items():
+            ds = sorted(dt for dt, _ in items)
+            n = len(ds)
+            total_t = sum(dt for dt, _ in items)
+            total_tok = sum(t for _, t in items)
+            out[kind] = {
+                "steps": n,
+                "p50_ms": round(1e3 * ds[n // 2], 2),
+                "p99_ms": round(1e3 * ds[min(n - 1, int(n * 0.99))], 2),
+                "mean_ms": round(1e3 * total_t / n, 2),
+                "tokens_per_s": round(total_tok / total_t, 1) if total_t else 0.0,
+            }
+        return out

@@ -74,6 +74,9 @@ class PrefixCache:
         self._entries: Dict[int, _Entry] = {}
         self._by_block: Dict[int, int] = {}  # block_id -> hash
         self._access_counter = 0
+        # eviction listener (hash) — hybrid snapshot pools drop their
+        # snapshot for an evicted block eagerly (core/hybrid_state.py)
+        self.on_evict = None
 
     def __len__(self) -> int:
         return len(self._entries)
@@ -124,9 +127,17 @@ class PrefixCache:
         """
         if not self.enabled:
             return []
+        return self.match_hashes(
+            self.block_hashes(token_ids, image_seed, image_first_block)
+        )
+
+    def match_hashes(self, hashes: Sequence[int]) -> List[int]:
+        """Longest cached prefix over a precomputed hash chain → block ids."""
+        if not self.enabled:
+            return []
         matched: List[int] = []
         self._access_counter += 1
-        for h in self.block_hashes(token_ids, image_seed, image_first_block):
+        for h in hashes:
             e = self._entries.get(h)
             if e is None:
                 break
@@ -201,6 +212,8 @@ class PrefixCache:
             if pe is not None:
                 pe.children -= 1
             freed.append(leaf.block_id)
+            if self.on_evict is not None:
+                self.on_evict(leaf.hash)
         return freed
 
     def evict_blocks(self, block_ids: Sequence[int]) -> List[int]:
@@ -226,10 +239,15 @@ class PrefixCache:
             if pe is not None:
                 pe.children -= 1
             freed.append(e.block_id)
+            if self.on_evict is not None:
+                self.on_evict(h)
         return freed
 
     def clear(self) -> List[int]:
         freed = list(self._by_block.keys())
+        if self.on_evict is not None:
+            for h in list(self._entries):
+                self.on_evict(h)
         self._entries.clear()
         self._by_block.clear()
         return freed

@@ -77,6 +77,9 @@ class ModelRunner:
         cache = econfig.cache
         self.block_size = cache.block_size
         self.max_blocks_per_seq = -(-econfig.scheduler.max_model_len // cache.block_size)
+        # the cache config's kv_dtype is authoritative when the caller didn't
+        # pass one explicitly (CLI → plan_kv_cache stamps it there)
+        kv_dtype = kv_dtype or cache.kv_dtype
         if hasattr(model, "init_kv_cache"):
             self.kv = model.init_kv_cache(cache, dtype=kv_dtype)
         else:
@@ -90,6 +93,9 @@ class ModelRunner:
             )
         self.vocab_size = econfig.model.vocab_size
         self.num_slots = cache.num_slots
+        # sentinel for padding rows' seq_slots (one past the last mamba
+        # slot; the GDN state scatter drops it)
+        self.mamba_slots = cache.mamba_slots
         # bucket lists must COVER the scheduler's limits — a batch larger
         # than the top bucket would overflow the fixed-shape descriptors
         db = list(econfig.decode_buckets)
@@ -266,7 +272,10 @@ class ModelRunner:
         positions = np.zeros((B, T), dtype=np.int32)
         slots = np.full((B, T), self.num_slots, dtype=np.int32)
         last_idx = np.zeros((B,), dtype=np.int32)
-        seq_slots = np.zeros((B,), dtype=np.int32)
+        # padding rows point one past the last mamba slot: the GDN
+        # layer scatters with mode="drop", so their garbage state
+        # updates vanish instead of clobbering slot 0 (a live slot)
+        seq_slots = np.full((B,), self.mamba_slots, dtype=np.int32)
         block_tables, context_lens = self._fill_common(B, seqs)
         for i, (seq, c) in enumerate(zip(seqs, chunks)):
             seq_slots[i] = getattr(seq, "mamba_slot", 0) or 0
@@ -351,7 +360,10 @@ class ModelRunner:
         positions = np.zeros((B, 1), dtype=np.int32)
         slots = np.full((B, 1), self.num_slots, dtype=np.int32)
         last_idx = np.zeros((B,), dtype=np.int32)
-        seq_slots = np.zeros((B,), dtype=np.int32)
+        # padding rows point one past the last mamba slot: the GDN
+        # layer scatters with mode="drop", so their garbage state
+        # updates vanish instead of clobbering slot 0 (a live slot)
+        seq_slots = np.full((B,), self.mamba_slots, dtype=np.int32)
         block_tables, context_lens = self._fill_common(B, seqs)
         for i, seq in enumerate(seqs):
             pos = seq.num_tokens - 1
@@ -558,7 +570,7 @@ class ModelRunner:
         start_tokens = np.zeros((B,), dtype=np.int32)
         start_pos = np.zeros((B,), dtype=np.int32)
         block_tables = np.zeros((B, MB), dtype=np.int32)
-        mslots = np.zeros((B,), dtype=np.int32)
+        mslots = np.full((B,), self.mamba_slots, dtype=np.int32)
         for i, seq in enumerate(seqs):
             start_tokens[i] = seq.last_token_id
             start_pos[i] = seq.num_tokens - 2  # position of last token
@@ -636,7 +648,10 @@ class ModelRunner:
         positions = np.zeros((B, T), dtype=np.int32)
         slots = np.full((B, T), self.num_slots, dtype=np.int32)
         last_idx = np.zeros((B,), dtype=np.int32)
-        seq_slots = np.zeros((B,), dtype=np.int32)
+        # padding rows point one past the last mamba slot: the GDN
+        # layer scatters with mode="drop", so their garbage state
+        # updates vanish instead of clobbering slot 0 (a live slot)
+        seq_slots = np.full((B,), self.mamba_slots, dtype=np.int32)
         block_tables, context_lens = self._fill_common(B, seqs)
         for i, (seq, d) in enumerate(zip(seqs, drafts)):
             row = [seq.last_token_id] + list(d) + [0] * (k - len(d))
@@ -684,6 +699,47 @@ class ModelRunner:
             for k in ("conv", "rec"):
                 if k in kv:
                     kv[k] = kv[k].at[:, slot].set(0)
+            self.kv = kv
+
+    # -- mamba prefix snapshots (core/hybrid_state.py; reference
+    # block_manager.rs:444-550 + core/runner.rs:676-741) -------------------
+
+    def _mamba_snap_arrays(self, n_slots: int):
+        """Lazily allocate the snapshot pool's device arrays with the same
+        layout/sharding as the live state (slots axis is replicated)."""
+        if getattr(self, "_mamba_snap", None) is None:
+            snaps = {}
+            for k in ("conv", "rec"):
+                src = self.kv[k]
+                shape = (src.shape[0], n_slots) + src.shape[2:]
+                arr = jnp.zeros(shape, dtype=src.dtype)
+                try:
+                    arr = jax.device_put(arr, src.sharding)
+                except Exception:  # unsharded / single-device: keep as-is
+                    pass
+                snaps[k] = arr
+            self._mamba_snap = snaps
+            self._mamba_snap_slots = n_slots
+        return self._mamba_snap
+
+    def snapshot_mamba_slot(self, slot: int, snap_slot: int, n_slots: int = 0) -> None:
+        """Copy a live slot's recurrent + conv state into the snapshot pool."""
+        with self._kv_lock:
+            snaps = self._mamba_snap_arrays(
+                n_slots or getattr(self, "_mamba_snap_slots", 16)
+            )
+            for k in ("conv", "rec"):
+                snaps[k] = snaps[k].at[:, snap_slot].set(self.kv[k][:, slot])
+            self._mamba_snap = snaps
+
+    def restore_mamba_slot(self, slot: int, snap_slot: int) -> None:
+        """Copy a snapshot back into a live slot (prefix-cache hit)."""
+        with self._kv_lock:
+            snaps = getattr(self, "_mamba_snap", None)
+            assert snaps is not None, "restore before any snapshot"
+            kv = dict(self.kv)
+            for k in ("conv", "rec"):
+                kv[k] = kv[k].at[:, slot].set(snaps[k][:, snap_slot])
             self.kv = kv
 
     def _slots_of_blocks(self, block_table: List[int]) -> np.ndarray:

@@ -224,6 +224,12 @@ class Scheduler:
             sp = seq.sampling_params
             if not sp.greedy() or seq.guidance is not None or sp.stop:
                 return
+            if getattr(seq, "mamba_slot", None) is not None:
+                # hybrid GDN: the verify forward advances recurrent state
+                # for REJECTED draft positions too — unlike paged KV there
+                # is no slot to overwrite on the re-decode, so the state
+                # would silently diverge from the token history
+                return
         drafts: List[List[int]] = []
         any_draft = False
         for seq in batch.seqs:
