@@ -5,7 +5,7 @@ A100 40GB for Llama-3.1-8B ISQ Q4K; v5e weight-streaming roofline ≈ 182).
 Weights are randomly initialized then group-quantized on device — decode
 throughput does not depend on weight values. Prints ONE JSON line.
 
-Usage: python bench.py [--size tiny|8b] [--decode-tokens N]
+Usage: python bench.py [--size tiny|8b] [--decode-tokens N] [--spec K]
 """
 
 from __future__ import annotations
@@ -15,8 +15,49 @@ import json
 import sys
 import time
 
+# Fixed English corpus for the speculative-decode mode (--spec): prompt
+# tokens are 2-byte groups of this text, preserving natural n-gram
+# repetition statistics. Prompt-lookup drafts come from matching the
+# sequence's trailing n-gram against earlier context, so measured
+# acceptance depends on the full token stream; with randomly initialized
+# weights the OUTPUT half of that stream is not English — the JSON line
+# reports the measured acceptance length so the effective rate is
+# auditable (effective tok/s = (accepted+1 per step) / step time).
+_CORPUS = (
+    "The river rises in the high country, where snow lingers on the north "
+    "slopes long into summer, and it gathers the small streams one by one "
+    "as it falls toward the valley floor. In the valley the river slows "
+    "and widens, and the towns along its banks take their water from it, "
+    "and return their water to it, and the river carries on as it has "
+    "carried on for longer than the towns have stood. The towns along its "
+    "banks grew up around the mills, and the mills took their power from "
+    "the river, and the river took no notice of the mills. In the high "
+    "country the snow falls early and stays late, and the small streams "
+    "run under the ice all winter, and in the spring the river rises "
+    "again, as it rose the spring before, and the towns along its banks "
+    "watch the water climb the stone stairs of the old landings. The old "
+    "landings were built when the river was the road, and the road was "
+    "slow, and the towns were patient. The river is still the road for "
+    "some: the herons fish the shallows, the barges walk the channel, and "
+    "the water carries the high country down to the sea, one spring at a "
+    "time, as it has carried it for longer than anyone has measured."
+)
 
-def build(size: str):
+
+def corpus_tokens(vocab: int, n: int) -> list:
+    """First n tokens of the fixed corpus as 2-byte-group token ids."""
+    bs = _CORPUS.encode("utf-8")
+    toks = []
+    for i in range(0, len(bs) - 1, 2):
+        toks.append(1 + (bs[i] * 256 + bs[i + 1]) % (vocab - 2))
+        if len(toks) >= n:
+            break
+    while len(toks) < n:  # corpus shorter than requested: repeat
+        toks.extend(toks[: n - len(toks)])
+    return toks[:n]
+
+
+def build(size: str, spec_k: int = 0):
     import jax
 
     from vllm_rs_tpu.config import (
@@ -115,6 +156,12 @@ def build(size: str):
         sched = SchedulerConfig(max_num_seqs=8, chunk_size=512, max_model_len=1024)
         quant = "int4"
 
+    if spec_k:
+        # speculative decode verifies per engine step: single-step decode
+        # (the scheduler only speculates at n_steps == 1)
+        import dataclasses as _dc
+
+        sched = _dc.replace(sched, multi_step_decode=1, spec_decode_k=spec_k)
     econfig = EngineConfig(model=model, cache=cache, scheduler=sched, quant=quant)
     m = CausalLM(model, block_size=cache.block_size)
     t0 = time.time()
@@ -133,18 +180,22 @@ def main():
     # offline batch throughput (reference `--batch N` bench, main.rs:44-103):
     # N prompts generated synchronously, tokens / wall
     ap.add_argument("--batch", type=int, default=0)
+    # prompt-lookup speculative decoding on the fixed English corpus:
+    # --spec K verifies up to K drafted tokens per step (PERF_NOTES.md)
+    ap.add_argument("--spec", type=int, default=0)
     args = ap.parse_args()
 
     import numpy as np
 
     from vllm_rs_tpu.config import SamplingParams
 
-    engine = build(args.size)
+    engine = build(args.size, spec_k=args.spec)
     vocab = engine.econfig.model.vocab_size
     rs = np.random.RandomState(0)
 
-    def run_once(n_decode):
-        prompt = list(rs.randint(1, vocab - 1, size=args.prompt_tokens))
+    def run_once(n_decode, prompt=None):
+        if prompt is None:
+            prompt = list(rs.randint(1, vocab - 1, size=args.prompt_tokens))
         sid = engine.add_request(
             prompt,
             SamplingParams(temperature=0.0, max_tokens=n_decode, ignore_eos=True),
@@ -152,17 +203,20 @@ def main():
         # prefill steps until running
         t_first = None
         n_steps = 0
+        decode_steps = 0
         t0 = time.time()
         while not engine.requests[sid].seq.is_finished:
             engine.step()
             n_steps += 1
-            if t_first is None and engine.requests[sid].seq.output_token_ids:
-                t_first = time.time()
+            if engine.requests[sid].seq.output_token_ids:
+                decode_steps += 1
+                if t_first is None:
+                    t_first = time.time()
         t_end = time.time()
         seq = engine.requests[sid].seq
         n_out = len(seq.output_token_ids)
         decode_time = t_end - t_first if t_first else t_end - t0
-        return n_out, decode_time, (t_first - t0 if t_first else 0.0)
+        return n_out, decode_time, (t_first - t0 if t_first else 0.0), decode_steps
 
     if args.batch:
         # offline batch mode: strict prefill-first (the reference's --batch
@@ -211,11 +265,40 @@ def main():
         )
         return
 
+    if args.spec:
+        # prompt-lookup speculative decode on the fixed English corpus:
+        # greedy, bit-identical to plain decoding; each verify step costs
+        # one MXU pass regardless of accepted length. acceptance_mean is
+        # reported so the effective rate is auditable (with random weights
+        # the model's own output governs acceptance — see PERF_NOTES.md)
+        prompt = corpus_tokens(vocab, args.prompt_tokens)
+        run_once(args.spec + 2, prompt=prompt)  # warmup verify buckets
+        n_out, decode_time, ttft, steps = run_once(
+            args.decode_tokens, prompt=prompt
+        )
+        eff_tps = (n_out - 1) / decode_time if decode_time > 0 else 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": f"spec_decode_effective_tokens_per_sec_{args.size}_int4",
+                    "value": round(eff_tps, 2),
+                    "unit": "tokens/s/chip",
+                    "vs_baseline": round(eff_tps / 120.74, 4),
+                    "acceptance_mean": round(n_out / max(steps, 1), 2),
+                    "spec_k": args.spec,
+                    "decode_tokens": n_out,
+                    "ttft_s": round(ttft, 3),
+                    "size": args.size,
+                }
+            )
+        )
+        return
+
     # warmup (compilation of prefill + decode buckets incl. the full
     # multi-step program: k+1 so the deepest executable compiles here)
     k = engine.econfig.scheduler.multi_step_decode
     run_once(k + 1)
-    n_out, decode_time, ttft = run_once(args.decode_tokens)
+    n_out, decode_time, ttft, _ = run_once(args.decode_tokens)
     decode_tps = (n_out - 1) / decode_time if decode_time > 0 else 0.0
 
     # reference A100 rows (BASELINE.md): 8B ISQ-Q4K 120.74; 3B rows are

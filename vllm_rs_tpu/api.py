@@ -44,6 +44,9 @@ class EngineBuilder:
     dp_size: int = 1
     seed: int = 0
     prefix_cache: bool = True
+    # CLI-supplied YaRN rope-scaling factor (reference --yarn-scaling-factor,
+    # utils/mod.rs:640-706): 0 = use the checkpoint's rope_scaling as-is
+    yarn_scaling_factor: float = 0.0
 
     def build(self):
         import jax
@@ -77,6 +80,7 @@ class EngineBuilder:
             model, params = load_model(
                 path, quant=self.quant, quant_group=self.quant_group,
                 block_size=self.block_size,
+                yarn_scaling_factor=self.yarn_scaling_factor,
             )
             tokenizer = _tokenizer_near(path)
 

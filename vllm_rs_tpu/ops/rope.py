@@ -76,7 +76,24 @@ def rope_inv_freq(config: ModelConfig) -> jnp.ndarray:
         ramp = jnp.clip((dims - low / 2) / max((high - low) / 2, 1e-3), 0.0, 1.0)
         inv_interp = inv / factor
         inv = inv_interp * ramp + inv * (1.0 - ramp)
-    # "default"/"dynamic" handled as no-op at fixed max length
+    elif rtype == "dynamic":
+        # dynamic NTK (rotary_emb.rs:284): the reference recomputes the
+        # base as the context grows past original_max_position_embeddings.
+        # Under fixed-shape jit the table is frozen at the extended serving
+        # length L = factor * orig (the config's advertised max), i.e.
+        # base' = theta * (factor * L / orig - (factor - 1))^(d/(d-2)) —
+        # the same table the reference converges to at full context.
+        orig_ctx = float(
+            scaling.get(
+                "original_max_position_embeddings",
+                config.max_position_embeddings / max(factor, 1.0),
+            )
+        )
+        target = max(float(config.max_position_embeddings), orig_ctx)
+        if factor > 1.0 and target > orig_ctx:
+            alpha = factor * target / orig_ctx - (factor - 1.0)
+            base = config.rope_theta * alpha ** (rd / max(rd - 2, 1))
+            inv = 1.0 / (base ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
     return inv
 
 

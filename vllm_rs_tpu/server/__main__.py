@@ -24,12 +24,25 @@ def main() -> None:
     ap.add_argument("--max-num-seqs", type=int, default=64)
     ap.add_argument("--block-size", type=int, default=16)
     ap.add_argument("--num-blocks", type=int, default=0, help="0 = auto-plan from free HBM")
-    ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
+    ap.add_argument(
+        "--kv-dtype", default="bfloat16",
+        choices=["bfloat16", "int8", "float8_e4m3fn"],
+        help="KV cache storage dtype; int8 pairs per-slot-per-head scales, "
+        "float8_e4m3fn is scale-free (reference kvcache_allocator.rs:188-193)",
+    )
     ap.add_argument("--tp-size", type=int, default=1)
     ap.add_argument("--dp-size", type=int, default=1)
     ap.add_argument("--chunk-size", type=int, default=2048)
+    ap.add_argument("--yarn-scaling-factor", type=float, default=0.0,
+                    help="override/install YaRN rope scaling: extends the "
+                    "context to factor x the original length (reference "
+                    "utils/mod.rs:640-706)")
     ap.add_argument("--mcp-config", default=None,
                     help="JSON config of MCP servers to expose as tools")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture an xprof trace of the first N engine "
+                    "steps into this directory (tensorboard-openable)")
+    ap.add_argument("--profile-steps", type=int, default=64)
     # PD disaggregation (reference --pd-server/--pd-client, main.rs:20-230)
     ap.add_argument("--pd-server", type=int, default=None, metavar="PORT",
                     help="run as a prefill server on PORT (no HTTP API)")
@@ -94,6 +107,7 @@ def main() -> None:
         num_blocks=args.num_blocks,
         tp_size=args.tp_size,
         dp_size=args.dp_size,
+        yarn_scaling_factor=args.yarn_scaling_factor,
     ).build()
 
     tpl = None
@@ -142,6 +156,11 @@ def main() -> None:
         multi_step=sched.multi_step_decode,
         spec_k=sched.spec_decode_k,
     )
+    if args.profile_dir:
+        from vllm_rs_tpu.utils.profiling import StepProfiler
+
+        engine.profiler = StepProfiler(args.profile_dir, args.profile_steps)
+        engine.profiler.start()
     if args.interactive:
         _run_interactive(engine, tpl)
         return

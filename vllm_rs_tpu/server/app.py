@@ -194,8 +194,41 @@ def build_app(state: ServerState) -> web.Application:
 
         return web.Response(text=INDEX_HTML, content_type="text/html")
 
+    async def profile_start(request):
+        """Begin an xprof trace capture (utils/profiling.py). Body (all
+        optional): {"trace_dir": str, "max_steps": int} — max_steps 0
+        captures until /v1/profile/stop."""
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+        engine = state.engine
+        if engine.profiler is None:
+            from vllm_rs_tpu.utils.profiling import StepProfiler
+
+            engine.profiler = StepProfiler(
+                body.get("trace_dir", "/tmp/vllm_rs_tpu_xprof"),
+                max_steps=int(body.get("max_steps", 0)),
+            )
+        else:
+            if "trace_dir" in body:
+                engine.profiler.trace_dir = body["trace_dir"]
+            if "max_steps" in body:
+                engine.profiler.max_steps = int(body["max_steps"])
+        started = engine.profiler.start()
+        return web.json_response(
+            {"started": started, "trace_dir": engine.profiler.trace_dir}
+        )
+
+    async def profile_stop(_request):
+        engine = state.engine
+        stopped = engine.profiler.stop() if engine.profiler is not None else False
+        return web.json_response({"stopped": stopped})
+
     app.router.add_get("/health", health)
     app.router.add_get("/", index)
+    app.router.add_post("/v1/profile/start", profile_start)
+    app.router.add_post("/v1/profile/stop", profile_stop)
     return app
 
 

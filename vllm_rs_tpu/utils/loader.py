@@ -932,12 +932,46 @@ def load_gguf_model(
     return model, params
 
 
-def load_model(model_dir: str, *, quant=None, quant_group: int = 128, block_size: int = 16):
-    """config.json + safetensors → (model instance, params)."""
+def apply_yarn_override(cfg_dict: dict, factor: float) -> dict:
+    """Install a CLI-supplied YaRN factor into an HF config dict
+    (reference utils/mod.rs:640-706): original context is preserved in
+    original_max_position_embeddings and the advertised max extends to
+    factor × original."""
+    cfg_dict = dict(cfg_dict)
+    existing = cfg_dict.get("rope_scaling") or {}
+    orig = int(
+        existing.get("original_max_position_embeddings")
+        or cfg_dict.get("max_position_embeddings", 4096)
+    )
+    rs = dict(existing)
+    rs.update(
+        {
+            "rope_type": "yarn",
+            "factor": float(factor),
+            "original_max_position_embeddings": orig,
+        }
+    )
+    rs.pop("type", None)
+    cfg_dict["rope_scaling"] = rs
+    cfg_dict["max_position_embeddings"] = int(orig * factor)
+    return cfg_dict
+
+
+def load_model(model_dir: str, *, quant=None, quant_group: int = 128,
+               block_size: int = 16, yarn_scaling_factor: float = 0.0):
+    """config.json + safetensors → (model instance, params).
+
+    yarn_scaling_factor > 0 overrides/installs YaRN rope scaling from the
+    CLI (reference --yarn-scaling-factor, utils/mod.rs:640-706): extends the
+    advertised context to factor × original_max_position_embeddings.
+    """
     from vllm_rs_tpu.models import get_model_class
 
     with open(os.path.join(model_dir, "config.json")) as f:
-        config = ModelConfig.from_hf_dict(json.load(f))
+        cfg_dict = json.load(f)
+    if yarn_scaling_factor and yarn_scaling_factor > 0:
+        cfg_dict = apply_yarn_override(cfg_dict, yarn_scaling_factor)
+    config = ModelConfig.from_hf_dict(cfg_dict)
     cls = get_model_class(config.model_type)
     model = cls(config, block_size=block_size)
     params = load_params(model_dir, config, quant=quant, quant_group=quant_group)
