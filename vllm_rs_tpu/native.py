@@ -22,7 +22,16 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+# repo checkout keeps csrc/ at the root; built wheels ship a copy inside
+# the package (scripts/build_wheel.sh)
+_CSRC_CANDIDATES = (
+    os.path.join(os.path.dirname(_PKG_DIR), "csrc"),
+    os.path.join(_PKG_DIR, "csrc"),
+)
+_CSRC = next(
+    (d for d in _CSRC_CANDIDATES if os.path.isdir(d)), _CSRC_CANDIDATES[0]
+)
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
