@@ -90,7 +90,7 @@ def build(size: str, spec_k: int = 0):
         # ~70ms RTT; on directly-attached hosts the sync cost is ~us)
         sched = SchedulerConfig(
             max_num_seqs=8, chunk_size=1024, max_model_len=2048,
-            multi_step_decode=64,
+            multi_step_decode=128,
         )
         quant = "int4"
     elif size == "3b":
@@ -183,6 +183,8 @@ def main():
     # prompt-lookup speculative decoding on the fixed English corpus:
     # --spec K verifies up to K drafted tokens per step (PERF_NOTES.md)
     ap.add_argument("--spec", type=int, default=0)
+    # override tokens-per-host-sync (amortizes the dev tunnel RTT)
+    ap.add_argument("--multi-step", type=int, default=0)
     args = ap.parse_args()
 
     import numpy as np
@@ -190,6 +192,16 @@ def main():
     from vllm_rs_tpu.config import SamplingParams
 
     engine = build(args.size, spec_k=args.spec)
+    if args.multi_step:
+        import dataclasses as _dc
+
+        engine.econfig = _dc.replace(
+            engine.econfig,
+            scheduler=_dc.replace(
+                engine.econfig.scheduler, multi_step_decode=args.multi_step
+            ),
+        )
+        engine.scheduler.config = engine.econfig.scheduler
     vocab = engine.econfig.model.vocab_size
     rs = np.random.RandomState(0)
 

@@ -204,7 +204,12 @@ class Gemma4ForCausalLM(CausalLM):
     # attention (per-layer geometry + v-norm)
     # ------------------------------------------------------------------
 
-    def _attn(self, lp, h, meta: AttnMeta, kv_l, *, full: bool):
+    def _attn(self, lp, h, meta: AttnMeta, kv_l, *, full: bool, layer_idx=None):
+        """With layer_idx: deferred pooled decode — kv_l is the FULL pool
+        of this layer kind ([L, 2, S, F]), the kernel indexes its layer in
+        place and the new K/V returns to the caller for one post-loop
+        scatter per pool (PERF_NOTES.md finding #3: slicing kv[i] into a
+        pallas operand copies the pool slice every layer)."""
         cfg = self.config
         B, T, _ = h.shape
         Hk = self.Hk_g if full else self.Hk_s
@@ -226,12 +231,27 @@ class Gemma4ForCausalLM(CausalLM):
         q, k = apply_rope(
             q, k, meta.positions, lp["inv_freq"], self.rot_g if full else self.rot_s
         )
+        window = 0 if full else cfg.sliding_window
+        if layer_idx is not None:
+            from vllm_rs_tpu.ops.attention import paged_attention_deferred
+
+            out = paged_attention_deferred(
+                q, k, v, kv_l, meta,
+                block_size=self.block_size,
+                scale=self.scale,
+                logit_softcap=cfg.attn_logit_softcap,
+                sliding_window=window,
+                backend=self.attn_backend,
+                layer_idx=layer_idx,
+            )
+            o = linear(lp["o"], out.reshape(B, T, -1))
+            return o, (k.reshape(B, -1), v.reshape(B, -1))
         out, kv_l = paged_attention(
             q, k, v, kv_l, meta,
             block_size=self.block_size,
             scale=self.scale,
             logit_softcap=cfg.attn_logit_softcap,
-            sliding_window=0 if full else cfg.sliding_window,
+            sliding_window=window,
             backend=self.attn_backend,
         )
         o = linear(lp["o"], out.reshape(B, T, -1))
@@ -301,6 +321,9 @@ class Gemma4ForCausalLM(CausalLM):
             h = h * jnp.asarray(cfg.embed_scale, dtype=h.dtype)
         pli = self._per_layer_inputs(params, token_ids, h)
 
+        # deferred-write pooled decode: each pool ([L, 2, S, F]) feeds the
+        # kernel whole, new K/V scatters once per pool after the loop
+        deferred = token_ids.shape[1] == 1
         swa_layers, full_layers = [], []
         si = fi = 0
         for i, (lp, t) in enumerate(zip(params["layers"], self.layer_types)):
@@ -308,13 +331,19 @@ class Gemma4ForCausalLM(CausalLM):
             attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps, cfg.norm_plus_one)
             if full:
                 attn_out, kv_l = self._attn(
-                    lp, attn_in, meta, caches["full"][fi], full=True
+                    lp, attn_in, meta,
+                    caches["full"] if deferred else caches["full"][fi],
+                    full=True,
+                    layer_idx=jnp.asarray(fi, jnp.int32) if deferred else None,
                 )
                 full_layers.append(kv_l)
                 fi += 1
             else:
                 attn_out, kv_l = self._attn(
-                    lp, attn_in, meta, caches["swa"][si], full=False
+                    lp, attn_in, meta,
+                    caches["swa"] if deferred else caches["swa"][si],
+                    full=False,
+                    layer_idx=jnp.asarray(si, jnp.int32) if deferred else None,
                 )
                 swa_layers.append(kv_l)
                 si += 1
@@ -356,8 +385,26 @@ class Gemma4ForCausalLM(CausalLM):
             h = h * lp["layer_scalar"].astype(h.dtype)
 
         new_caches = {}
-        if swa_layers:
-            new_caches["swa"] = jnp.stack(swa_layers)
-        if full_layers:
-            new_caches["full"] = jnp.stack(full_layers)
+        if deferred:
+            from vllm_rs_tpu.ops.attention import scatter_deferred_kv
+
+            if swa_layers:
+                new_caches["swa"] = scatter_deferred_kv(
+                    caches["swa"],
+                    jnp.stack([k for k, _ in swa_layers]),
+                    jnp.stack([v for _, v in swa_layers]),
+                    meta.slot_mapping,
+                )
+            if full_layers:
+                new_caches["full"] = scatter_deferred_kv(
+                    caches["full"],
+                    jnp.stack([k for k, _ in full_layers]),
+                    jnp.stack([v for _, v in full_layers]),
+                    meta.slot_mapping,
+                )
+        else:
+            if swa_layers:
+                new_caches["swa"] = jnp.stack(swa_layers)
+            if full_layers:
+                new_caches["full"] = jnp.stack(full_layers)
         return new_caches, h

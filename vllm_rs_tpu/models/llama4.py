@@ -129,7 +129,10 @@ class Llama4ForCausalLM(CausalLM):
 
     # ------------------------------------------------------------------
 
-    def _attn(self, lp, h, meta: AttnMeta, kv_l, *, i: int):
+    def _attn(self, lp, h, meta: AttnMeta, kv_l, *, i: int, layer_idx=None):
+        """With layer_idx: deferred pooled decode over the full [L,2,S,F]
+        pool (PERF_NOTES.md finding #3 — slicing kv[i] into a pallas
+        operand copies the pool slice every layer)."""
         cfg = self.config
         B, T, _ = h.shape
         Hq, Hk, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
@@ -160,6 +163,19 @@ class Llama4ForCausalLM(CausalLM):
                 )
                 q = (q.astype(jnp.float32) * scale[:, :, None, None]).astype(q.dtype)
             window = 0
+        if layer_idx is not None:
+            from vllm_rs_tpu.ops.attention import paged_attention_deferred
+
+            out = paged_attention_deferred(
+                q, k, v, kv_l, meta,
+                block_size=self.block_size, scale=self.scale,
+                sliding_window=window, backend=self.attn_backend,
+                layer_idx=layer_idx,
+            )
+            return (
+                linear(lp["o"], out.reshape(B, T, -1)),
+                (k.reshape(B, -1), v.reshape(B, -1)),
+            )
         out, kv_l = paged_attention(
             q, k, v, kv_l, meta,
             block_size=self.block_size, scale=self.scale,
@@ -208,10 +224,17 @@ class Llama4ForCausalLM(CausalLM):
                 meta.mm_embeds.astype(flat.dtype), mode="drop"
             )
             h = flat.reshape(B, T, D)
+        # deferred-write pooled decode: the kernel reads the [L,2,S,F] pool
+        # in place, new K/V scatters once after the loop
+        deferred = token_ids.shape[1] == 1
         new_kv = []
         for i, lp in enumerate(params["layers"]):
             attn_in = rms_norm(h, lp["input_ln"], cfg.rms_norm_eps)
-            attn_out, kv_l = self._attn(lp, attn_in, meta, kv[i], i=i)
+            attn_out, kv_l = self._attn(
+                lp, attn_in, meta,
+                kv if deferred else kv[i], i=i,
+                layer_idx=jnp.asarray(i, jnp.int32) if deferred else None,
+            )
             h = h + attn_out
             mlp_in = rms_norm(h, lp["post_ln"], cfg.rms_norm_eps)
             if self.is_moe_layer[i]:
@@ -219,6 +242,15 @@ class Llama4ForCausalLM(CausalLM):
             else:
                 h = h + mlp(lp, mlp_in, cfg.hidden_act)
             new_kv.append(kv_l)
+        if deferred:
+            from vllm_rs_tpu.ops.attention import scatter_deferred_kv
+
+            return scatter_deferred_kv(
+                kv,
+                jnp.stack([k for k, _ in new_kv]),
+                jnp.stack([v for _, v in new_kv]),
+                meta.slot_mapping,
+            ), h
         return jnp.stack(new_kv), h
 
     def encode_image(self, params: dict, image) -> np.ndarray:

@@ -37,16 +37,21 @@ def _w8_kernel(ids_ref, xs_ref, x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k, n
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    acc = acc_ref[...]
     x = x_ref[0]  # [1, BK]
+    parts = []  # tree-reduced (quant_matmul.py: serial FMA chain stalls)
     for g in range(n_g):
         sl = slice(g * G, (g + 1) * G)
         p = jax.lax.dot_general(
             x[:, sl], w_ref[sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        acc += p.astype(jnp.float32) * s_ref[0, g]
-    acc_ref[...] = acc
+        parts.append(p.astype(jnp.float32) * s_ref[0, g])
+    while len(parts) > 1:
+        parts = [
+            parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    acc_ref[...] = acc_ref[...] + parts[0]
 
     @pl.when(k == n_k - 1)
     def _():
@@ -68,8 +73,8 @@ def _w4_kernel(
     lo = ((w32 << 28) >> 28).astype(jnp.int8)
     hi = (w32 >> 4).astype(jnp.int8)
     BKp = w.shape[0]
-    acc = acc_ref[...]
     x = x_ref[0]  # [1, 2*BKp]
+    parts = []  # tree-reduced (quant_matmul.py: serial FMA chain stalls)
     for g in range(n_g):
         sl = slice(g * G, (g + 1) * G)
         x_lo = x[:, sl]
@@ -80,9 +85,15 @@ def _w4_kernel(
         p_hi = jax.lax.dot_general(
             x_hi, hi[sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
-        acc += p_lo.astype(jnp.float32) * s_lo_ref[0, g]
-        acc += p_hi.astype(jnp.float32) * s_hi_ref[0, g]
-    acc_ref[...] = acc
+        part = p_lo.astype(jnp.float32) * s_lo_ref[0, g]
+        part += p_hi.astype(jnp.float32) * s_hi_ref[0, g]
+        parts.append(part)
+    while len(parts) > 1:
+        parts = [
+            parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    acc_ref[...] = acc_ref[...] + parts[0]
 
     @pl.when(k == n_k - 1)
     def _():

@@ -80,20 +80,26 @@ def _int4_kernel(
     lo = ((w32 << 28) >> 28).astype(jnp.bfloat16)
     hi = (w32 >> 4).astype(jnp.bfloat16)
 
-    acc = acc_ref[...]
+    parts = []  # tree-reduced (see _w4a8_kernel: serial FMA chain stalls)
     for i in range(n_g):
         sl = slice(i * group, (i + 1) * group)
         x_lo = x_lo_ref[:, sl]
         x_hi = x_hi_ref[:, sl]
         p_lo = jnp.dot(x_lo, lo[sl], preferred_element_type=jnp.float32)
         p_hi = jnp.dot(x_hi, hi[sl], preferred_element_type=jnp.float32)
-        acc += s_lo_ref[:, i, :] * p_lo + s_hi_ref[:, i, :] * p_hi
+        part = s_lo_ref[:, i, :] * p_lo + s_hi_ref[:, i, :] * p_hi
         if has_zeros:
             xs_lo = jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
             xs_hi = jnp.sum(x_hi.astype(jnp.float32), axis=1, keepdims=True)
-            acc -= xs_lo * sz_lo_ref[:, i, :]
-            acc -= xs_hi * sz_hi_ref[:, i, :]
-    acc_ref[...] = acc
+            part -= xs_lo * sz_lo_ref[:, i, :]
+            part -= xs_hi * sz_hi_ref[:, i, :]
+        parts.append(part)
+    while len(parts) > 1:
+        parts = [
+            parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    acc_ref[...] = acc_ref[...] + parts[0]
 
     @pl.when(k == n_k - 1)
     def _():
@@ -111,12 +117,17 @@ def _int8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k: int, group: int)
     rows = w.shape[0]
     n_g = rows // group
     wb = w.astype(jnp.bfloat16)
-    acc = acc_ref[...]
+    parts = []  # tree-reduced (see _w4a8_kernel: serial FMA chain stalls)
     for i in range(n_g):
         sl = slice(i * group, (i + 1) * group)
         p = jnp.dot(x_ref[:, sl], wb[sl], preferred_element_type=jnp.float32)
-        acc += s_ref[:, i, :] * p
-    acc_ref[...] = acc
+        parts.append(s_ref[:, i, :] * p)
+    while len(parts) > 1:
+        parts = [
+            parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    acc_ref[...] = acc_ref[...] + parts[0]
 
     @pl.when(k == n_k - 1)
     def _():
@@ -130,7 +141,12 @@ def _int8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k: int, group: int)
 
 def _pick_tiles(M: int, K_steps: int, N: int, group_rows: int):
     """(BM, BK, BN): BK in grid-step rows of the weight operand, always a
-    multiple of the group size (one scale row per in-kernel dot)."""
+    multiple of the group size (one scale row per in-kernel dot).
+
+    Isolated-chain tile sweeps (lab_trunk.py) suggested 1024x1024 tiles,
+    but the end-to-end bench regressed (77.8 -> 75.9 tok/s) — isolated
+    chain numbers have ±15% run-to-run variance and a different pipeline
+    regime; tile changes must be validated through bench.py."""
     BM = min(_round_up(M, 16), 256)
     BN = 128
     for d in range(2048, 127, -128):
@@ -279,18 +295,24 @@ def _w8a8_kernel(
 
     w = w_ref[...]  # [BK, BN] int8
     n_g = w.shape[0] // group
-    acc = acc_ref[...]
+    parts = []  # tree-reduced (see _w4a8_kernel: serial FMA chain stalls)
     for g in range(n_g):
         sl = slice(g * group, (g + 1) * group)
         xg = x_ref[:, sl]
         p = jax.lax.dot_general(
             xg, w[sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
-        acc += p.astype(jnp.float32) * s_ref[0, g]
+        part = p.astype(jnp.float32) * s_ref[0, g]
         if has_zeros:
             sx = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
-            acc -= sx * sz_ref[0, g]
-    acc_ref[...] = acc
+            part -= sx * sz_ref[0, g]
+        parts.append(part)
+    while len(parts) > 1:
+        parts = [
+            parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    acc_ref[...] = acc_ref[...] + parts[0]
 
     @pl.when(k == n_k - 1)
     def _():
@@ -313,7 +335,11 @@ def _w4a8_kernel(
     hi = (w32 >> 4).astype(jnp.int8)
     BKp = w.shape[0]
     n_g = BKp // group
-    acc = acc_ref[...]
+    # collect per-group contributions and tree-reduce: chaining `acc +=`
+    # serializes every scale-FMA behind the previous one, stalling the
+    # independent MXU dots behind the VPU chain (measured: group=512's
+    # 2-deep chain ran ~40% faster than group=128's 16-deep chain)
+    parts = []
     for g in range(n_g):
         sl = slice(g * group, (g + 1) * group)
         x_lo = x_ref[:, sl]
@@ -324,14 +350,20 @@ def _w4a8_kernel(
         p_hi = jax.lax.dot_general(
             x_hi, hi[sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
-        acc += p_lo.astype(jnp.float32) * s_lo_ref[0, g]
-        acc += p_hi.astype(jnp.float32) * s_hi_ref[0, g]
+        part = p_lo.astype(jnp.float32) * s_lo_ref[0, g]
+        part += p_hi.astype(jnp.float32) * s_hi_ref[0, g]
         if has_zeros:
             sx_lo = jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
             sx_hi = jnp.sum(x_hi.astype(jnp.float32), axis=1, keepdims=True)
-            acc -= sx_lo * sz_lo_ref[0, g]
-            acc -= sx_hi * sz_hi_ref[0, g]
-    acc_ref[...] = acc
+            part -= sx_lo * sz_lo_ref[0, g]
+            part -= sx_hi * sz_hi_ref[0, g]
+        parts.append(part)
+    while len(parts) > 1:  # pairwise tree reduction
+        parts = [
+            parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    acc_ref[...] = acc_ref[...] + parts[0]
 
     @pl.when(k == n_k - 1)
     def _():
