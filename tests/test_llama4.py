@@ -111,7 +111,9 @@ def dense_llama4_logits(model, params, cfg, token_ids):
         qp, kp = jnp.arange(T)[:, None], jnp.arange(T)[None, :]
         mask = kp <= qp
         if window:
-            mask &= kp > qp - window
+            # exact chunked attention (HF Llama4): keys from the query's
+            # own chunk, [floor(qp/C)*C, qp]
+            mask &= kp >= (qp // window) * window
         scores = jnp.where(mask[None], scores, -1e30)
         attn = jnp.einsum(
             "hts,shd->thd", jax.nn.softmax(scores, -1), vr.astype(jnp.float32)

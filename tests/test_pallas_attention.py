@@ -151,3 +151,44 @@ def test_decode_pooled_mode_matches_per_layer():
             np.asarray(pooled, np.float32), np.asarray(per_layer, np.float32),
             rtol=1e-5, atol=1e-5, err_msg=f"layer {li}",
         )
+
+
+@pytest.mark.parametrize("C", [16, 32, 64])
+def test_decode_chunked_attention(C):
+    """llama4 chunked attention: keys from the query's own chunk only,
+    [floor(pos/C)*C, pos] — exact HF semantics, not a sliding window."""
+    q, k, v, meta = build_case(seed=11, ctx_lens=[100, 40, 7, 128])
+    kw = dict(block_size=16, scale=0.088, sliding_window=C, chunked=True)
+    ref = paged_attention_reference(q, k, v, meta, **kw)
+    got = paged_attention_decode_pallas(q, k, v, meta, interpret=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+    # sanity: chunked differs from sliding for off-boundary positions
+    slid = paged_attention_reference(
+        q, k, v, meta, block_size=16, scale=0.088, sliding_window=C
+    )
+    assert not np.allclose(np.asarray(ref, np.float32), np.asarray(slid, np.float32))
+
+
+def test_decode_chunked_deferred():
+    """Chunked + deferred self-KV: the pool holds [0, pos), the self column
+    folds in separately; low bound is floor(pos/C)*C either way."""
+    C = 32
+    q, k, v, meta = build_case(seed=13, ctx_lens=[100, 40, 33, 128])
+    kw = dict(block_size=16, scale=0.088, sliding_window=C, chunked=True)
+    ref = paged_attention_reference(q, k, v, meta, **kw)
+    B, Hk, D = q.shape[0], 4, 128
+    pos = np.asarray(meta.positions).reshape(B)
+    bt = np.asarray(meta.block_tables)
+    slots = np.array(
+        [bt[b, pos[b] // 16] * 16 + pos[b] % 16 for b in range(B)], np.int32
+    )
+    k_self = jnp.stack([k[s] for s in slots]).reshape(B, 1, Hk, D)
+    v_self = jnp.stack([v[s] for s in slots]).reshape(B, 1, Hk, D)
+    got = paged_attention_decode_pallas(
+        q, k, v, meta, interpret=True, k_self=k_self, v_self=v_self, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )

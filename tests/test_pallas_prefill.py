@@ -87,3 +87,25 @@ def test_softcap():
         np.asarray(got, np.float32), np.asarray(expect, np.float32),
         atol=0.02, rtol=0.02,
     )
+
+
+@pytest.mark.parametrize("C,start", [(16, 0), (24, 32), (32, 20)])
+def test_prefill_chunked_attention(C, start):
+    """llama4 chunked attention in the prefill kernel: every query row
+    masks to its own chunk [floor(q/C)*C, q] — rows inside one tile can
+    belong to different chunks."""
+    D, bs, B, T, Hq, Hk = 128, 8, 2, 16, 4, 2
+    MB = -(-(start + T) // bs) + 1
+    q, kc, vc, meta = _setup(B, T, start, Hq, Hk, D, bs, MB)
+    got = paged_prefill_pallas(
+        q, kc, vc, meta, block_size=bs, scale=D ** -0.5, sliding_window=C,
+        chunked=True, q_tile=16, pages_per_step=2, interpret=True,
+    )
+    expect = paged_attention_reference(
+        q, kc, vc, meta, block_size=bs, scale=D ** -0.5, sliding_window=C,
+        chunked=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expect, np.float32),
+        atol=0.02, rtol=0.02,
+    )

@@ -2,8 +2,9 @@
 
 Counterpart of the reference's llama4/ (SURVEY.md §2.3, mod.rs:189-353):
 - iRoPE: layer i uses rope iff (i+1) % 4 != 0 (or HF `no_rope_layers`);
-  rope layers use *chunked* attention (sliding window =
-  `attention_chunk_size`) and optional per-head q/k L2 norm; nope layers
+  rope layers use *chunked* attention (a query at position p attends keys
+  in [floor(p/C)*C, p], its own chunk — exact HF/mod.rs semantics, NOT a
+  sliding window) and optional per-head q/k L2 norm; nope layers
   attend over the full context and scale q by the position-dependent
   temperature 1 + attn_scale·ln(floor((pos+1)/floor_scale) + 1)
   (mod.rs:317-325).
@@ -170,7 +171,7 @@ class Llama4ForCausalLM(CausalLM):
                 q, k, v, kv_l, meta,
                 block_size=self.block_size, scale=self.scale,
                 sliding_window=window, backend=self.attn_backend,
-                layer_idx=layer_idx,
+                layer_idx=layer_idx, chunked=window > 0,
             )
             return (
                 linear(lp["o"], out.reshape(B, T, -1)),
@@ -180,6 +181,7 @@ class Llama4ForCausalLM(CausalLM):
             q, k, v, kv_l, meta,
             block_size=self.block_size, scale=self.scale,
             sliding_window=window, backend=self.attn_backend,
+            chunked=window > 0,
         )
         return linear(lp["o"], out.reshape(B, T, -1)), kv_l
 

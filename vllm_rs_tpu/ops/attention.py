@@ -41,8 +41,13 @@ def attend_gathered(
     scale: float,
     logit_softcap: float = 0.0,
     sliding_window: int = 0,
+    chunked: bool = False,
 ) -> jax.Array:
-    """Reference attention over gathered pages. Returns [B, T, Hq, D]."""
+    """Reference attention over gathered pages. Returns [B, T, Hq, D].
+
+    chunked: llama4 chunked attention — sliding_window is the chunk size C
+    and a query at position p attends keys in [floor(p/C)*C, p] (its own
+    chunk), not the trailing window (p-C, p]."""
     B, T, Hq, D = q.shape
     Hk = k.shape[2]
     groups = Hq // Hk
@@ -59,7 +64,12 @@ def attend_gathered(
     qpos = meta.positions[:, None, None, :, None]  # [B,1,1,T,1]
     ctx = meta.context_lens[:, None, None, None, None]
     mask = (kpos <= qpos) & (kpos < ctx)
-    if isinstance(sliding_window, jax.Array):  # per-layer traced window
+    if chunked:
+        C = jnp.maximum(jnp.asarray(sliding_window, jnp.int32), 1)
+        mask &= (jnp.asarray(sliding_window, jnp.int32) <= 0) | (
+            kpos >= (qpos // C) * C
+        )
+    elif isinstance(sliding_window, jax.Array):  # per-layer traced window
         sw = sliding_window.astype(jnp.int32)
         mask &= (sw <= 0) | (kpos > qpos - sw)
     elif sliding_window > 0:
@@ -83,6 +93,7 @@ def paged_attention_reference(
     scale: float,
     logit_softcap: float = 0.0,
     sliding_window: int = 0,
+    chunked: bool = False,
 ) -> jax.Array:
     """Gather-based paged attention over the two-array bf16 cache form."""
     from vllm_rs_tpu.ops.kv_cache import gather_pages
@@ -94,6 +105,7 @@ def paged_attention_reference(
     return attend_gathered(
         q, k, v, meta,
         scale=scale, logit_softcap=logit_softcap, sliding_window=sliding_window,
+        chunked=chunked,
     )
 
 
@@ -110,6 +122,7 @@ def paged_attention_deferred(
     sliding_window=0,
     backend: str = "auto",
     layer_idx=None,
+    chunked: bool = False,
 ) -> jax.Array:
     """Decode attention WITHOUT writing the cache (deferred-write path):
     the kernel reads pages covering [0, pos) and folds the current token's
@@ -134,12 +147,13 @@ def paged_attention_deferred(
                 block_size=block_size, scale=scale,
                 logit_softcap=logit_softcap, sliding_window=sliding_window,
                 k_self=k_new, v_self=v_new, layer_idx=layer_idx,
+                chunked=chunked,
             )
         return paged_attention_decode_pallas(
             q, kv_l[0], kv_l[1], meta,
             block_size=block_size, scale=scale,
             logit_softcap=logit_softcap, sliding_window=sliding_window,
-            k_self=k_new, v_self=v_new,
+            k_self=k_new, v_self=v_new, chunked=chunked,
         )
     if layer_idx is not None:  # reference path: take the layer slice
         kv_l = jax.lax.dynamic_index_in_dim(kv_l, layer_idx, 0, keepdims=False)
@@ -150,6 +164,7 @@ def paged_attention_deferred(
     return attend_gathered(
         q, k, v, meta,
         scale=scale, logit_softcap=logit_softcap, sliding_window=sliding_window,
+        chunked=chunked,
     )
 
 
@@ -190,6 +205,7 @@ def paged_attention(
     logit_softcap: float = 0.0,
     sliding_window: int = 0,
     backend: str = "auto",
+    chunked: bool = False,
 ) -> Tuple[jax.Array, KVLayer]:
     """Write new KV then attend. Returns (out, kv_l)."""
     kv_l = write_kv_layer(kv_l, k_new, v_new, meta.slot_mapping)
@@ -210,7 +226,7 @@ def paged_attention(
             q, data[0], data[1], meta,
             block_size=block_size, scale=scale,
             logit_softcap=logit_softcap, sliding_window=sliding_window,
-            k_scales=scales[0], v_scales=scales[1],
+            k_scales=scales[0], v_scales=scales[1], chunked=chunked,
         )
     elif backend == "pallas" and not is_quantized_kv(kv_l):
         from vllm_rs_tpu.ops.pallas.paged_attention import paged_attention_pallas
@@ -219,6 +235,7 @@ def paged_attention(
             q, kv_l[0], kv_l[1], meta,
             block_size=block_size, scale=scale,
             logit_softcap=logit_softcap, sliding_window=sliding_window,
+            chunked=chunked,
         )
     else:
         Hk = k_new.shape[2]
@@ -226,6 +243,6 @@ def paged_attention(
         out = attend_gathered(
             q, k, v, meta,
             scale=scale, logit_softcap=logit_softcap,
-            sliding_window=sliding_window,
+            sliding_window=sliding_window, chunked=chunked,
         )
     return out, kv_l

@@ -51,6 +51,7 @@ def _decode_kernel(
     head_dim: int,
     with_self: bool = False,
     kv_int8: bool = False,
+    chunked: bool = False,
 ):
     P = pages_per_step
     if with_self:
@@ -78,12 +79,20 @@ def _decode_kernel(
 
     base = j * P * block_size
     sw = sw_ref[0]
-    # first admitted key position under a sliding window. With deferred
-    # self-KV (with_self) ctx excludes the query token itself: the window
-    # [pos-sw+1, pos] then covers only sw-1 POOL positions plus the self
-    # column, so the low bound shifts up by one (without the shift the
-    # kernel attended sw+1 tokens — advisor finding, paged_attention.py:411)
-    sw_lo = ctx - sw + (1 if with_self else 0)
+    if chunked:
+        # llama4 chunked attention (mod.rs chunked mask): keys from the
+        # query's own chunk only — low bound floor(qpos / C) * C, where
+        # the query position is ctx-1 (ctx excludes the query under
+        # with_self, so it IS the query position there)
+        qpos = ctx if with_self else ctx - 1
+        sw_lo = (qpos // jnp.maximum(sw, 1)) * sw
+    else:
+        # first admitted key position under a sliding window. With deferred
+        # self-KV (with_self) ctx excludes the query token itself: the window
+        # [pos-sw+1, pos] then covers only sw-1 POOL positions plus the self
+        # column, so the low bound shifts up by one (without the shift the
+        # kernel attended sw+1 tokens — advisor finding, paged_attention.py:411)
+        sw_lo = ctx - sw + (1 if with_self else 0)
     valid_step = base < ctx
     valid_step = jnp.logical_and(
         valid_step,
@@ -200,7 +209,7 @@ def _decode_kernel(
     static_argnames=(
         "block_size", "scale", "logit_softcap",
         "pages_per_step", "interpret", "with_self", "kv_int8",
-        "slots_per_layer",
+        "slots_per_layer", "chunked",
     ),
 )
 def _decode_call(
@@ -224,6 +233,7 @@ def _decode_call(
     with_self: bool = False,
     kv_int8: bool = False,
     slots_per_layer: int = 0,
+    chunked: bool = False,
 ):
     B, Hk, G, D = q.shape
     MB = block_tables.shape[1]
@@ -309,6 +319,7 @@ def _decode_call(
         head_dim=D,
         with_self=with_self,
         kv_int8=kv_int8,
+        chunked=chunked,
     )
     out = pl.pallas_call(
         kernel,
@@ -341,6 +352,7 @@ def paged_attention_pallas(
     scale: float,
     logit_softcap: float = 0.0,
     sliding_window: int = 0,
+    chunked: bool = False,
 ) -> jax.Array:
     """Backend entry: decode (T == 1) uses the flash-decoding kernel;
     prefill (T > 1) the chunked flash-prefill kernel over paged KV."""
@@ -354,6 +366,7 @@ def paged_attention_pallas(
             scale=scale,
             logit_softcap=logit_softcap,
             sliding_window=sliding_window,
+            chunked=chunked,
         )
     from vllm_rs_tpu.ops.pallas.prefill_attention import paged_prefill_pallas
 
@@ -366,6 +379,7 @@ def paged_attention_pallas(
         scale=scale,
         logit_softcap=logit_softcap,
         sliding_window=sliding_window,
+        chunked=chunked,
     )
 
 
@@ -386,6 +400,7 @@ def paged_attention_decode_pallas(
     k_scales: Optional[jax.Array] = None,  # [S, Hk] (int8 cache)
     v_scales: Optional[jax.Array] = None,
     layer_idx: Optional[jax.Array] = None,  # pooled mode (traced scalar)
+    chunked: bool = False,  # llama4 chunked attention: window = chunk size
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -435,5 +450,6 @@ def paged_attention_decode_pallas(
         with_self=with_self,
         kv_int8=k_scales is not None,
         slots_per_layer=slots_per_layer,
+        chunked=bool(chunked),
     )
     return out.reshape(B, 1, Hq, D)

@@ -51,6 +51,7 @@ def _prefill_kernel(
     groups: int,
     head_dim: int,
     q_tile: int,
+    chunked: bool = False,
 ):
     P = pages_per_step
     k_refs = refs[:P]
@@ -74,9 +75,17 @@ def _prefill_kernel(
     base = j * P * block_size  # absolute position of this step's first key
     q_last = q_start + q_tile - 1
     valid = jnp.logical_and(base < ctx, base <= q_last)
-    valid = jnp.logical_and(
-        valid, jnp.logical_or(sw <= 0, base + P * block_size > q_start - sw)
-    )
+    if chunked:
+        # llama4 chunked attention: the tile's earliest admitted key is
+        # the first row's chunk start, floor(q_start / C) * C
+        lo_tile = (q_start // jnp.maximum(sw, 1)) * sw
+        valid = jnp.logical_and(
+            valid, jnp.logical_or(sw <= 0, base + P * block_size > lo_tile)
+        )
+    else:
+        valid = jnp.logical_and(
+            valid, jnp.logical_or(sw <= 0, base + P * block_size > q_start - sw)
+        )
 
     @pl.when(valid)
     def _():
@@ -93,9 +102,15 @@ def _prefill_kernel(
         causal = kpos <= qpos  # [TQ*G, S]
         in_ctx = kpos < ctx
         mask = jnp.logical_and(causal, in_ctx)
-        mask = jnp.logical_and(
-            mask, jnp.logical_or(sw <= 0, kpos > qpos - sw)
-        )
+        if chunked:
+            lo_q = (qpos // jnp.maximum(sw, 1)) * sw  # per-row chunk start
+            mask = jnp.logical_and(
+                mask, jnp.logical_or(sw <= 0, kpos >= lo_q)
+            )
+        else:
+            mask = jnp.logical_and(
+                mask, jnp.logical_or(sw <= 0, kpos > qpos - sw)
+            )
 
         for h in range(Hk):
             # q rows for head h: [TQ, G, D] → [TQ*G, D]
@@ -151,7 +166,7 @@ def _prefill_kernel(
     jax.jit,
     static_argnames=(
         "block_size", "scale", "logit_softcap",
-        "pages_per_step", "q_tile", "interpret",
+        "pages_per_step", "q_tile", "interpret", "chunked",
     ),
 )
 def _prefill_call(
@@ -169,6 +184,7 @@ def _prefill_call(
     pages_per_step: int,
     q_tile: int,
     interpret: bool,
+    chunked: bool = False,
 ):
     B, TQtot, HqD = q.shape
     S, HkD = k_cache.shape
@@ -217,6 +233,7 @@ def _prefill_call(
         groups=G,
         head_dim=D,
         q_tile=q_tile,
+        chunked=chunked,
     )
     return pl.pallas_call(
         kernel,
@@ -242,6 +259,7 @@ def paged_prefill_pallas(
     q_tile: int = 128,
     pages_per_step: int = 8,
     interpret: Optional[bool] = None,
+    chunked: bool = False,
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -272,5 +290,6 @@ def paged_prefill_pallas(
         pages_per_step=min(pages_per_step, MB),
         q_tile=q_tile,
         interpret=bool(interpret),
+        chunked=bool(chunked),
     )
     return out[:, :T].reshape(B, T, Hq, D)
