@@ -150,3 +150,80 @@ def test_tp_mla_matches_single_device():
     runner = ModelRunner(model, shard_params(params, mesh), ecfg, mesh=mesh)
     sharded = LLMEngine(ecfg, runner).generate(prompts, sp)[0].output_token_ids
     assert single == sharded
+
+
+def test_tp_hybrid_gdn_matches_single_device():
+    """Hybrid GDN trunk under TP: full-attention layers shard kv-heads,
+    the GDN conv/rec slot state replicates (sharding.py plan); includes a
+    prefix-hit turn so mamba snapshot capture/restore run on the mesh."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    from vllm_rs_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+    from vllm_rs_tpu.models.qwen3_next import Qwen3NextForCausalLM
+
+    model_cfg = ModelConfig(
+        model_type="qwen3_next", hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=128, qk_norm=True, eos_token_ids=(0,),
+        extra=(
+            ("linear_num_key_heads", 2), ("linear_num_value_heads", 4),
+            ("linear_key_head_dim", 8), ("linear_value_head_dim", 8),
+            ("linear_conv_kernel_dim", 4), ("full_attention_interval", 4),
+        ),
+    )
+    ecfg = EngineConfig(
+        model=model_cfg,
+        cache=CacheConfig(block_size=4, num_blocks=64, mamba_slots=8,
+                          mamba_snapshot_slots=8,
+                          mamba_snapshot_interval_blocks=1),
+        scheduler=SchedulerConfig(max_num_seqs=4, chunk_size=8, max_model_len=128,
+                                  prefill_buckets=(8, 16, 32)),
+        prefill_buckets=(8, 16, 32), decode_buckets=(4,),
+    )
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    base = list(range(2, 26))  # 24 tokens: 3 aligned chunks -> snapshots
+
+    def run(mesh, p):
+        runner = ModelRunner(
+            Qwen3NextForCausalLM(model_cfg, block_size=4), p, ecfg, mesh=mesh
+        )
+        engine = LLMEngine(ecfg, runner)
+        first = engine.generate([base + [1, 2, 3]], sp)[0]
+        second = engine.generate([base + [4, 5, 6]], sp)[0]
+        return first.output_token_ids, second.output_token_ids, second.cached_tokens
+
+    model = Qwen3NextForCausalLM(model_cfg, block_size=4)
+    params = model.init_params(jax.random.PRNGKey(0))
+    s1, s2, s_cached = run(None, params)
+    mesh = make_mesh(tp_size=2)
+    t1, t2, t_cached = run(mesh, shard_params(params, mesh))
+    assert s1 == t1
+    assert s2 == t2
+    assert s_cached == t_cached == 24  # snapshot restore fired on the mesh
+
+
+def test_tp_fp8_kv_matches_single_device():
+    """fp8-e4m3 KV pool sharded over kv-heads behaves identically to the
+    single-device pool (the fp8 rows convert on read either way)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual multi-device CPU")
+    from vllm_rs_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+
+    model_cfg = ModelConfig(
+        model_type="llama", hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=128, eos_token_ids=(0,),
+    )
+    ecfg = EngineConfig(
+        model=model_cfg,
+        cache=CacheConfig(block_size=4, num_blocks=64, kv_dtype="float8_e4m3fn"),
+        scheduler=SchedulerConfig(max_num_seqs=4, chunk_size=16, max_model_len=64,
+                                  prefill_buckets=(8, 16)),
+        prefill_buckets=(8, 16), decode_buckets=(4,),
+    )
+    model = CausalLM(model_cfg, block_size=4)
+    params = model.init_params(jax.random.PRNGKey(0))
+    single = _generate(ecfg, params)
+    mesh = make_mesh(tp_size=2)
+    sharded = _generate(dataclasses.replace(ecfg, tp_size=2), params, mesh=mesh)
+    assert single == sharded
