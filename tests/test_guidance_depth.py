@@ -153,6 +153,40 @@ class TestNestedSchema:
         assert "uniqueItems" in str(e.value)
         assert "#/properties/x" in str(e.value)
 
+    def test_integer_range_enforced(self):
+        """minimum/maximum on integers are honored — not silently dropped
+        (the module contract: no silent degradation)."""
+        a = schema_to_automaton({"type": "integer", "minimum": 0, "maximum": 10})
+        for ok in ("0", "5", "10"):
+            assert accepts(a, ok), ok
+        for bad in ("-1", "11", "99999", "-42"):
+            assert not accepts(a, bad), bad
+
+    def test_integer_exclusive_bounds_and_multiple_of(self):
+        a = schema_to_automaton(
+            {
+                "type": "integer",
+                "exclusiveMinimum": 0,
+                "exclusiveMaximum": 10,
+                "multipleOf": 3,
+            }
+        )
+        for ok in ("3", "6", "9"):
+            assert accepts(a, ok), ok
+        for bad in ("0", "10", "4"):
+            assert not accepts(a, bad), bad
+
+    def test_numeric_ranges_never_silently_dropped(self):
+        # one-sided / huge integer ranges and bounds on 'number' raise
+        with pytest.raises(SchemaCompileError):
+            schema_to_automaton({"type": "integer", "minimum": 0})
+        with pytest.raises(SchemaCompileError):
+            schema_to_automaton(
+                {"type": "integer", "minimum": 0, "maximum": 10**9}
+            )
+        with pytest.raises(SchemaCompileError):
+            schema_to_automaton({"type": "number", "minimum": 0.5, "maximum": 2.0})
+
     def test_no_silent_degradation_via_build_constraint(self):
         # round-1 verdict weak #6: nested schemas must not silently fall
         # back to free-form JSON — unsupported now raises (→ HTTP 400)
@@ -327,6 +361,27 @@ class TestServerWiring:
         )
         assert sp.reasoning_effort == "high"
         assert sp.think_markers == ("<think>", "</think>")
+
+    def test_reasoning_effort_forces_thinking_prompt(self):
+        """The reference's normalize_reasoning_controls sets
+        params.thinking = Some(true): the grammar forces a think block, so
+        an explicit enable_thinking=false must be overridden — the template
+        and the constraint cannot contradict."""
+        from dataclasses import replace
+
+        from vllm_rs_tpu.server.protocol import sampling_from_openai
+        from vllm_rs_tpu.server.tool_parser import ToolConfig
+
+        cfg = replace(ToolConfig(), reasoning_markers=("<think>", "</think>"))
+        body = {"reasoning_effort": "low", "enable_thinking": False}
+        sp = sampling_from_openai(body, tool_config=cfg)
+        assert sp.reasoning_effort == "low"
+        assert body["enable_thinking"] is True
+        # ... but without markers the effort is dropped AND thinking is
+        # left alone
+        body2 = {"reasoning_effort": "low", "enable_thinking": False}
+        sampling_from_openai(body2, tool_config=ToolConfig())
+        assert body2["enable_thinking"] is False
 
     def test_sampling_params_wire_round_trip(self):
         from vllm_rs_tpu.config import SamplingParams

@@ -162,3 +162,59 @@ class TestPoolHygiene:
         for _ in range(10):
             outs = engine.generate([[5, 6, 7], [20, 21, 22]], [sp, sp])
             assert outs[0].output_token_ids == solo.output_token_ids
+
+
+class TestIncrementalChain:
+    def test_chain_matches_block_hashes(self):
+        """_chain_to hashes only the new tokens but must produce exactly
+        prefix_cache.block_hashes(tokens[:covered])[-1], including across
+        incremental extensions and image seeds."""
+        engine = _hybrid_engine(chunk=8)
+        pool = engine._mamba_pool
+        pc = engine.block_manager.prefix_cache
+
+        class FakeSeq:
+            seq_id = 9001
+            image_seed = None
+
+            def __init__(self, ids):
+                self._ids = ids
+
+            def all_token_ids(self):
+                return self._ids
+
+        ids = list(range(2, 66))  # 64 tokens, block_size 4
+        seq = FakeSeq(ids)
+        for covered in (4, 12, 24, 64):
+            got = pool._chain_to(seq, covered)
+            want = pc.block_hashes(ids[:covered])[-1]
+            assert got == want, covered
+        # image-seeded prompts mix the seed into block 0
+        seq2 = FakeSeq(ids)
+        seq2.seq_id = 9002
+        seq2.image_seed = 0xDEADBEEF
+        for covered in (4, 16):
+            got = pool._chain_to(seq2, covered)
+            want = pc.block_hashes(ids[:covered], 0xDEADBEEF)[-1]
+            assert got == want, covered
+        # a shrink (preemption re-prefill) resets and stays correct
+        got = pool._chain_to(seq, 8)
+        assert got == pc.block_hashes(ids[:8])[-1]
+
+    def test_chain_index_bounded(self):
+        engine = _hybrid_engine(chunk=8)
+        pool = engine._mamba_pool
+        pool._max_chains = 8
+
+        class FakeSeq:
+            image_seed = None
+
+            def __init__(self, sid):
+                self.seq_id = sid
+
+            def all_token_ids(self):
+                return list(range(2, 10))
+
+        for sid in range(32):
+            pool._chain_to(FakeSeq(sid), 8)
+        assert len(pool._chains) <= 8

@@ -255,6 +255,17 @@ class TestTokenIdStrict:
         ev = p.push("<tool_call>", token_id=42)
         assert ("content", "<tool_call>") in ev
 
+    def test_empty_text_marker_tokens_still_trigger(self):
+        """Special marker tokens decode to EMPTY text under
+        skip_special_tokens — the server must still push their ids, and the
+        parser must act on a push whose text is empty."""
+        p = StreamParser(self._cfg())
+        assert p.push("", token_id=151657) == []
+        assert p.push('{"name": "t", "arguments": {}}', token_id=5) == []
+        ev = p.push("", token_id=151658)
+        assert [e[0] for e in ev] == ["tool_call"]
+        assert ev[0][1].name == "t"
+
 
 class TestRepairAndFinalize:
     def test_truncated_json_recovered_at_eos(self):
@@ -335,6 +346,40 @@ class TestMarkerDiscovery:
     def test_parser_override(self):
         cfg = ToolConfig.for_model_type("qwen3", parser_override="pythonic")
         assert cfg.strategy == "pythonic"
+
+    def test_think_markers_discovered_as_pairs(self):
+        """A discovered start must pair with ITS OWN end marker — never an
+        unrelated end from an independently discovered list."""
+
+        class FakeTok:
+            # <reasoning> exists but </reasoning> does not; <internal> and
+            # </internal> both exist
+            table = {"<reasoning>": 20, "<internal>": 21, "</internal>": 22}
+
+            def encode(self, s):
+                class E:
+                    pass
+
+                e = E()
+                if s in self.table:
+                    e.ids = [self.table[s]]
+                    e.tokens = [s]
+                else:
+                    e.ids = [1, 2]
+                    e.tokens = list(s[:2])
+                return e
+
+        cfg = ToolConfig().with_tokenizer(FakeTok())
+        pairs = dict(zip(cfg.think_starts, cfg.think_ends))
+        assert pairs["<reasoning>"] == "</reasoning>"
+        assert pairs["<internal>"] == "</internal>"
+        # reasoning grammars need BOTH markers as dedicated tokens
+        assert cfg.reasoning_markers == ("<internal>", "</internal>")
+        # and the stream routes a <reasoning> block by its own end marker
+        p = StreamParser(cfg)
+        ev = p.push("<reasoning>deep thought</reasoning>done")
+        assert ("reasoning", "deep thought") in ev
+        assert ("content", "done") in ev
 
 
 class TestChatTemplate:

@@ -31,6 +31,8 @@ from __future__ import annotations
 from collections import OrderedDict
 from typing import List, Optional, Tuple
 
+from vllm_rs_tpu.core.prefix_cache import ROOT_HASH, _hash_block
+
 
 class MambaSnapshotPool:
     """Fixed-capacity pool of recurrent-state snapshots, LRU-replaced.
@@ -55,6 +57,12 @@ class MambaSnapshotPool:
         # hash → (snap_slot, covered_tokens); ordered for LRU replacement
         self.index: "OrderedDict[int, Tuple[int, int]]" = OrderedDict()
         self._free: List[int] = list(range(num_slots - 1, -1, -1))
+        # per-sequence incremental hash chain: seq_id → (covered, chain
+        # hash) so each capture hashes only the NEW tokens since the last
+        # one (a from-scratch rehash per capture is quadratic over a long
+        # generation). LRU-bounded; entries drop when a seq finishes.
+        self._chains: "OrderedDict[int, Tuple[int, int]]" = OrderedDict()
+        self._max_chains = max(1024, 4 * num_slots)
 
     # -- capture -------------------------------------------------------------
 
@@ -78,10 +86,13 @@ class MambaSnapshotPool:
                 # positions too — state does not match the token history
                 return
             for seq in batch.seqs:
-                if seq.is_finished and batch.n_steps > 1:
-                    # multi-step overshoot: a finished row's state covers
-                    # discarded tokens; single-step finishes are exact
-                    continue
+                if seq.is_finished:
+                    self._chains.pop(seq.seq_id, None)
+                    if batch.n_steps > 1:
+                        # multi-step overshoot: a finished row's state
+                        # covers discarded tokens; single-step finishes
+                        # are exact
+                        continue
                 covered = seq.num_tokens - 1
                 if (
                     covered > 0
@@ -90,16 +101,34 @@ class MambaSnapshotPool:
                 ):
                     self._maybe_snapshot(seq, covered)
 
+    def _chain_to(self, seq, covered: int) -> int:
+        """Chained block hash at `covered` tokens (block-aligned),
+        extending the sequence's cached chain incrementally — identical
+        output to prefix_cache.block_hashes(...)[-1] but O(new tokens)."""
+        bs = self.block_size
+        c0, parent = self._chains.get(seq.seq_id, (0, ROOT_HASH))
+        if c0 > covered or c0 % bs:
+            c0, parent = 0, ROOT_HASH  # chain ahead of a re-prefill: redo
+        ids = seq.all_token_ids()
+        seed = seq.image_seed
+        for b in range(c0 // bs, covered // bs):
+            blk = ids[b * bs : (b + 1) * bs]
+            parent = _hash_block(
+                parent, blk, seed if (seed is not None and b == 0) else None
+            )
+        self._chains[seq.seq_id] = (covered, parent)
+        self._chains.move_to_end(seq.seq_id)
+        while len(self._chains) > self._max_chains:
+            self._chains.popitem(last=False)
+        return parent
+
     def _maybe_snapshot(self, seq, covered: int) -> None:
         slot = getattr(seq, "mamba_slot", None)
         if slot is None:
             return
-        hashes = self.bm.prefix_cache.block_hashes(
-            seq.all_token_ids()[:covered], seq.image_seed
-        )
-        if not hashes:
+        if covered < self.block_size:
             return
-        h = hashes[-1]
+        h = self._chain_to(seq, covered)
         if h in self.index:
             self.index.move_to_end(h)  # refresh LRU; content identical
             return
@@ -136,9 +165,13 @@ class MambaSnapshotPool:
                 self.index.move_to_end(matched_hashes[i])
                 if slot is not None:
                     self.runner.restore_mamba_slot(slot, snap)
+                # seed the incremental chain so the first capture after a
+                # restore also hashes only the new tokens
+                self._chains[seq.seq_id] = (covered, matched_hashes[i])
                 return i + 1
         if slot is not None:
             self.runner.reset_mamba_slot(slot)
+        self._chains.pop(seq.seq_id, None)
         return 0
 
     # -- invalidation ----------------------------------------------------------

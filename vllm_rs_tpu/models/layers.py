@@ -24,7 +24,7 @@ from vllm_rs_tpu.config import ModelConfig
 from vllm_rs_tpu.ops.attention import paged_attention
 from vllm_rs_tpu.ops.attn_meta import AttnMeta
 from vllm_rs_tpu.ops.quant_matmul import quant_matmul
-from vllm_rs_tpu.ops.rope import apply_rope
+from vllm_rs_tpu.ops.rope import apply_rope, dynamic_ntk_inv_freq, dynamic_ntk_params
 from vllm_rs_tpu.quant.fp8 import Fp8BlockTensor
 from vllm_rs_tpu.quant.pack import PackedInt4Tensor, QuantizedTensor
 
@@ -128,7 +128,13 @@ def qkv_rope(lp: dict, h: jax.Array, meta: AttnMeta, config: ModelConfig):
             config.rotary_dim,
         )
     else:
-        q, k = apply_rope(q, k, meta.positions, lp["inv_freq"], config.rotary_dim)
+        if dynamic_ntk_params(config) is not None:
+            # true dynamic NTK: per-row table from the row's context length
+            # (rotary_emb.rs:284) — supersedes the frozen lp["inv_freq"]
+            inv = dynamic_ntk_inv_freq(config, meta.positions)
+        else:
+            inv = lp["inv_freq"]
+        q, k = apply_rope(q, k, meta.positions, inv, config.rotary_dim)
 
     if config.attn_temperature_tuning:  # llama4 (attention.rs:783-798)
         pos = meta.positions.astype(jnp.float32)  # [B, T]

@@ -79,10 +79,12 @@ def rope_inv_freq(config: ModelConfig) -> jnp.ndarray:
     elif rtype == "dynamic":
         # dynamic NTK (rotary_emb.rs:284): the reference recomputes the
         # base as the context grows past original_max_position_embeddings.
-        # Under fixed-shape jit the table is frozen at the extended serving
-        # length L = factor * orig (the config's advertised max), i.e.
+        # The standard attention path implements the TRUE per-row dynamic
+        # semantics in-graph (dynamic_ntk_inv_freq below); this frozen
+        # table — the one the reference converges to at full context,
         # base' = theta * (factor * L / orig - (factor - 1))^(d/(d-2)) —
-        # the same table the reference converges to at full context.
+        # remains only as the fallback for paths that precompute a single
+        # static table.
         orig_ctx = float(
             scaling.get(
                 "original_max_position_embeddings",
@@ -95,6 +97,49 @@ def rope_inv_freq(config: ModelConfig) -> jnp.ndarray:
             base = config.rope_theta * alpha ** (rd / max(rd - 2, 1))
             inv = 1.0 / (base ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
     return inv
+
+
+def dynamic_ntk_params(config: ModelConfig):
+    """(orig_ctx, factor) when rope_scaling is dynamic NTK, else None.
+
+    HF convention: when original_max_position_embeddings is absent,
+    max_position_embeddings IS the original context (the extended window
+    is factor x that) — rotary_emb.rs:284."""
+    scaling = dict(config.rope_scaling) if config.rope_scaling else None
+    if not scaling:
+        return None
+    rtype = scaling.get("rope_type", scaling.get("type", "default"))
+    if rtype != "dynamic":
+        return None
+    factor = float(scaling.get("factor", 1.0))
+    if factor <= 1.0:
+        return None
+    orig = float(
+        scaling.get(
+            "original_max_position_embeddings", config.max_position_embeddings
+        )
+    )
+    return orig, factor
+
+
+def dynamic_ntk_inv_freq(config: ModelConfig, positions: jax.Array) -> jax.Array:
+    """True dynamic-NTK table, per batch row, computed in-graph
+    (rotary_emb.rs:284 recompute-as-context-grows, HF `dynamic` semantics):
+    seq_len is the row's KV length so far (max position + 1); NO scaling at
+    or below the original context; beyond it the base rescales as
+    theta * (factor * L / orig - (factor - 1))^(d/(d-2)). Cached keys keep
+    the rotation they were written with — the same incoherence HF and the
+    reference accept.
+
+    positions: [B, T] int32 → returns float32 [B, rd // 2]."""
+    orig, factor = dynamic_ntk_params(config)
+    rd = config.rotary_dim
+    exps = jnp.arange(0, rd, 2, dtype=jnp.float32) / rd
+    inv = 1.0 / (config.rope_theta ** exps)  # unscaled base table
+    seq_len = jnp.max(positions, axis=-1).astype(jnp.float32) + 1.0  # [B]
+    alpha = jnp.maximum(factor * seq_len / orig - (factor - 1.0), 1.0)
+    scale = alpha ** (rd / max(rd - 2, 1))  # base multiplier, [B]
+    return inv[None, :] * (scale[:, None] ** (-exps[None, :]))
 
 
 def yarn_attn_scale(config: ModelConfig) -> float:
@@ -164,10 +209,17 @@ def apply_rope(
     inv_freq: jax.Array,  # [rd // 2] float32
     rotary_dim: Optional[int] = None,
 ):
-    """Apply neox-style RoPE to the first rotary_dim dims of q and k."""
+    """Apply neox-style RoPE to the first rotary_dim dims of q and k.
+
+    inv_freq is [rd // 2] (one table) or [B, rd // 2] (per-row table, the
+    dynamic-NTK path)."""
     D = q.shape[-1]
     rd = rotary_dim or D
-    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,T,rd/2]
+    posf = positions.astype(jnp.float32)[..., None]  # [B, T, 1]
+    if inv_freq.ndim == 2:
+        angles = posf * inv_freq[:, None, :]  # [B,T,rd/2]
+    else:
+        angles = posf * inv_freq  # [B,T,rd/2]
     cos = jnp.cos(angles)[:, :, None, :]  # [B,T,1,rd/2]
     sin = jnp.sin(angles)[:, :, None, :]
 

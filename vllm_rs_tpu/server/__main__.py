@@ -116,6 +116,19 @@ def main() -> None:
         tpl = ChatTemplate.from_tokenizer_config(
             tc_path, engine.econfig.model.model_type
         )
+    # Warmup BEFORE any leader/follower split: warmup programs are global-
+    # mesh pjit computations, so under --multihost EVERY process must
+    # dispatch them at the same sequence point — a leader warming up alone
+    # while followers sit in their serving loop deadlocks on the first
+    # cross-host collective. (reference CUDA-graph warmup_capture,
+    # runner.rs:1612 — per-rank there, SPMD-global here)
+    if not args.batch:
+        sched = engine.econfig.scheduler
+        engine.runner.warmup(
+            mode=args.warmup,
+            multi_step=sched.multi_step_decode,
+            spec_k=sched.spec_decode_k,
+        )
     if args.multihost:
         import jax
 
@@ -150,12 +163,6 @@ def main() -> None:
     if args.batch:
         _run_batch_bench(engine, tpl, args)
         return
-    sched = engine.econfig.scheduler
-    engine.runner.warmup(
-        mode=args.warmup,
-        multi_step=sched.multi_step_decode,
-        spec_k=sched.spec_decode_k,
-    )
     if args.profile_dir:
         from vllm_rs_tpu.utils.profiling import StepProfiler
 

@@ -186,7 +186,7 @@ async def messages(request: web.Request) -> web.StreamResponse:
             item = await _next_item(queue)
             if item.token_id is not None:
                 n_out += 1
-            events = parser.push(item.text) if item.text else []
+            events = parser.push(item.text or "", item.token_id)
             if item.finished:
                 events += parser.finish()
             for kind, payload in events:
@@ -278,7 +278,7 @@ async def messages(request: web.Request) -> web.StreamResponse:
             item = await _next_item(queue)
             if item.token_id is not None:
                 n_out += 1
-            events = parser.push(item.text) if item.text else []
+            events = parser.push(item.text or "", item.token_id)
             if item.finished:
                 events += parser.finish()
             for kind, payload in events:

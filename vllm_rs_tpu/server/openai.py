@@ -199,9 +199,11 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
                     continue
                 if item.token_id is not None:
                     n_out += 1
-                events = (
-                    parser.push(item.text, item.token_id) if item.text else []
-                )
+                # always push when a token arrived: special marker tokens
+                # (e.g. llama3 <|python_tag|>) decode to EMPTY text under
+                # skip_special_tokens, and strict token-id detection must
+                # still see their ids (parser.rs token_id_strict_match)
+                events = parser.push(item.text or "", item.token_id)
                 if item.finished:
                     events += parser.finish()
                 for kind, payload in events:
@@ -252,7 +254,7 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
                 continue
             if item.token_id is not None:
                 n_out += 1
-            events = parser.push(item.text, item.token_id) if item.text else []
+            events = parser.push(item.text or "", item.token_id)
             if item.finished:
                 events += parser.finish()
             for kind, payload in events:

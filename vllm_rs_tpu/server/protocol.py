@@ -85,6 +85,13 @@ def sampling_from_openai(
         if markers is not None:
             sp.reasoning_effort = str(effort).lower()
             sp.think_markers = tuple(markers)
+            # the reference sets params.thinking = Some(true) here
+            # (normalize_reasoning_controls): the grammar forces a think
+            # block, so the template MUST render the thinking prompt —
+            # otherwise an explicit enable_thinking=false request would
+            # contradict the constraint
+            body["enable_thinking"] = True
+            body.pop("thinking", None)
     return sp
 
 

@@ -40,14 +40,18 @@ _TOOL_BUFFER_TIMEOUT = float(
 )
 
 # reasoning marker candidates probed against the tokenizer vocabulary
-# (reference special_tokens.rs REASONING_START/END_TOKENS)
-_THINK_START_CANDIDATES = (
-    "<think>", "<thinking>", "<reasoning>", "<internal>", "<reflection>",
-    "<|think|>", "[THINK]", "<thought>",
-)
-_THINK_END_CANDIDATES = (
-    "</think>", "</thinking>", "</internal>", "<|/think|>", "[/THINK]",
-    "</thought>",
+# (reference special_tokens.rs REASONING_START/END_TOKENS). Kept as
+# explicit (start, end) PAIRS so a discovered start can never be matched
+# against an unrelated end marker.
+_THINK_MARKER_PAIRS = (
+    ("<think>", "</think>"),
+    ("<thinking>", "</thinking>"),
+    ("<reasoning>", "</reasoning>"),
+    ("<internal>", "</internal>"),
+    ("<reflection>", "</reflection>"),
+    ("<|think|>", "<|/think|>"),
+    ("[THINK]", "[/THINK]"),
+    ("<thought>", "</thought>"),
 )
 
 
@@ -65,7 +69,9 @@ class ToolConfig:
     strategy: str = "auto"
     think_start: str = "<think>"
     think_end: str = "</think>"
-    # extra think marker pairs discovered from the tokenizer
+    # extra think marker pairs discovered from the tokenizer; index i of
+    # alt_think_starts pairs with index i of alt_think_ends (always equal
+    # length — constructed from _THINK_MARKER_PAIRS)
     alt_think_starts: Tuple[str, ...] = ()
     alt_think_ends: Tuple[str, ...] = ()
     # dedicated marker token ids; when present AND the caller passes token
@@ -167,19 +173,29 @@ class ToolConfig:
             for i in (single_id(m),)
             if i is not None
         }
-        thinks = [m for m in _THINK_START_CANDIDATES if single_id(m) is not None]
-        think_ends = [m for m in _THINK_END_CANDIDATES if single_id(m) is not None]
-        reasoning = (thinks[0], think_ends[0]) if thinks and think_ends else None
+        # Discover think markers as PAIRS: a pair is usable when its start
+        # exists as a dedicated token (the end may still be detected as
+        # text); reasoning_effort grammars additionally require BOTH as
+        # dedicated tokens (reference server/mod.rs:443-462).
+        alt_starts: List[str] = []
+        alt_ends: List[str] = []
+        reasoning = None
+        for ts, te in _THINK_MARKER_PAIRS:
+            sid = single_id(ts)
+            if sid is None:
+                continue
+            eid = single_id(te)
+            if reasoning is None and eid is not None:
+                reasoning = (ts, te)
+            if ts not in self.think_starts:
+                alt_starts.append(ts)
+                alt_ends.append(te)
         return replace(
             self,
             start_token_ids=frozenset(start_ids),
             end_token_ids=frozenset(end_ids),
-            alt_think_starts=tuple(
-                m for m in thinks if m not in self.think_starts
-            ),
-            alt_think_ends=tuple(
-                m for m in think_ends if m not in self.think_ends
-            ),
+            alt_think_starts=tuple(alt_starts),
+            alt_think_ends=tuple(alt_ends),
             reasoning_markers=reasoning,
         )
 
@@ -697,10 +713,9 @@ class StreamParser:
         candidates = []
         if not self._strict_ids:
             candidates.append((self.cfg.tool_start, self.TOOL, None))
-        for ts, te in zip(
-            self.cfg.think_starts,
-            self.cfg.think_ends + (self.cfg.think_ends[-1],) * 8,
-        ):
+        # think_starts[i] pairs with think_ends[i] (equal length by
+        # construction — default pair + discovered _THINK_MARKER_PAIRS)
+        for ts, te in zip(self.cfg.think_starts, self.cfg.think_ends):
             candidates.append((ts, self.THINK, te))
         best = None
         for marker, next_state, te in candidates:

@@ -791,6 +791,9 @@ _STR_RE = r'"(?:[^"\\\n\t]|\\["\\/bfnrt])*"'
 _NUM_RE = r"-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?"
 _INT_RE = r"-?(?:0|[1-9]\d*)"
 _BOOL_RE = r"(?:true|false)"
+_NUMERIC_RANGE_KWS = (
+    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf"
+)
 
 
 def _schema_to_regex(schema: dict) -> Optional[str]:
@@ -915,6 +918,11 @@ class _SchemaCompiler:
         "contains", "uniqueItems",
     )
 
+    # numeric range keywords: honored for bounded integers (_integer),
+    # rejected elsewhere — never silently dropped
+    # (module-level _NUMERIC_RANGE_KWS)
+
+
     def __init__(self, root_schema: dict):
         self.root = root_schema
         self._refs: Dict[str, LazyAutomaton] = {}
@@ -952,9 +960,15 @@ class _SchemaCompiler:
         if t == "string":
             return self._string(schema, path)
         if t == "number":
+            if any(k in schema for k in _NUMERIC_RANGE_KWS):
+                raise SchemaCompileError(
+                    path,
+                    "numeric bounds on type 'number' are not supported "
+                    "(bounded 'integer' ranges are)",
+                )
             return RegexAutomaton(_NUM_RE)
         if t == "integer":
-            return RegexAutomaton(_INT_RE)
+            return self._integer(schema, path)
         if t == "boolean":
             return RegexAutomaton(_BOOL_RE)
         if t == "null":
@@ -968,6 +982,38 @@ class _SchemaCompiler:
         raise SchemaCompileError(path, f"unknown type {t!r}")
 
     # -- leaves ----------------------------------------------------------
+
+    def _integer(self, schema, path) -> CharAutomaton:
+        """Integers honor bounded ranges (and multipleOf within them) by
+        value enumeration; unbounded/huge ranges raise — the module
+        contract is no silent degradation."""
+        if not any(k in schema for k in _NUMERIC_RANGE_KWS):
+            return RegexAutomaton(_INT_RE)
+        lo = schema.get("minimum")
+        hi = schema.get("maximum")
+        if "exclusiveMinimum" in schema:
+            lo = int(schema["exclusiveMinimum"]) + 1
+        if "exclusiveMaximum" in schema:
+            hi = int(schema["exclusiveMaximum"]) - 1
+        if lo is None or hi is None:
+            raise SchemaCompileError(
+                path, "one-sided integer ranges are not supported"
+            )
+        lo, hi = int(lo), int(hi)
+        if hi - lo > 4096:
+            raise SchemaCompileError(
+                path, f"integer range [{lo}, {hi}] too large to enumerate"
+            )
+        step = schema.get("multipleOf")
+        vals = range(lo, hi + 1)
+        if step is not None:
+            step = int(step)
+            if step <= 0:
+                raise SchemaCompileError(path, f"invalid multipleOf {step}")
+            vals = [v for v in vals if v % step == 0]
+        if not vals:
+            raise SchemaCompileError(path, f"empty integer range [{lo}, {hi}]")
+        return ChoiceAutomaton([str(v) for v in vals])
 
     def _string(self, schema, path) -> CharAutomaton:
         if "pattern" in schema:
