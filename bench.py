@@ -132,10 +132,12 @@ def build(size: str, spec_k: int = 0):
             tie_word_embeddings=True,
             eos_token_ids=(151645,),
         )
-        # 4608 blocks = 73k slots keeps 256 full-length streams resident
-        # with headroom (bf16 pool 8.4 GB; the classic prefill scan now
-        # carries the pool, so no program double-allocates it)
-        cache = CacheConfig(block_size=16, num_blocks=4608)
+        # block_size 64: decode attention runs at the same rate as 128
+        # (attn_lab3 --bs-sweep: 542 vs 537 us/layer) with 4x less slot
+        # rounding waste; 1536 blocks = 98k slots keeps 256 streams at
+        # ctx 320 resident incl. the <=63-slot/seq rounding (bf16 pool
+        # 11.3 GB)
+        cache = CacheConfig(block_size=64, num_blocks=1536)
         sched = SchedulerConfig(
             max_num_seqs=256, chunk_size=2048, max_model_len=1024,
             multi_step_decode=16,

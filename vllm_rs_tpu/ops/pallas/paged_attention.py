@@ -393,7 +393,7 @@ def paged_attention_decode_pallas(
     scale: float,
     logit_softcap: float = 0.0,
     sliding_window: int = 0,
-    pages_per_step: int = 8,
+    pages_per_step: Optional[int] = None,
     interpret: Optional[bool] = None,
     k_self: Optional[jax.Array] = None,  # [B, 1, Hk, D] deferred-write K
     v_self: Optional[jax.Array] = None,
@@ -419,6 +419,13 @@ def paged_attention_decode_pallas(
     Hk = HkD // D
     G = Hq // Hk
     MB = meta.block_tables.shape[1]
+    if pages_per_step is None:
+        # ~384 slots per grid step: measured optimum across block sizes
+        # (attn_lab3 --bs-sweep, B=256 ctx=192: bs=16 P=24 660us/layer vs
+        # P=8 756; bs=64 P=6 542; bs=128 P=3 537). Grid-iteration cost is
+        # dominated by per-page-ref pipeline bookkeeping (~20ns/slot) plus
+        # a fixed per-iteration charge — wider steps amortize both.
+        pages_per_step = max(1, 384 // block_size)
     P = min(pages_per_step, MB)
     qg = q.reshape(B, Hk, G, D)
     if isinstance(sliding_window, jax.Array):
