@@ -249,11 +249,16 @@ class ModelRunner:
         scheduler reserves blocks for a step's writes before run, so the
         current block tables already cover this step."""
         need = max((len(s.block_table) for s in seqs), default=1)
-        # two tiers only: each extra tier is an extra (n_steps, MB) compile
-        # of the step program, and a mid-run recompile costs far more than
-        # the page walk it saves
-        small = min(32, self.max_blocks_per_seq)
-        return small if need <= small else self.max_blocks_per_seq
+        # power-of-two ladder from 4 pages up: every dead table column
+        # costs ~20ns x B x 2 planes of pipeline bookkeeping per layer in
+        # the decode kernel even though its DMA is elided (attn_lab3) — at
+        # B=256 a 16-wide tier over a 5-page need burned 3.7 ms/step. A
+        # batch's ctx grows monotonically, so a serving run climbs the
+        # ladder once (log2(max) compiles worst case, lazily).
+        w = 4
+        while w < need:
+            w *= 2
+        return min(w, self.max_blocks_per_seq)
 
     def _fill_common(self, B, seqs):
         MB = self._bt_width(seqs)
@@ -813,10 +818,13 @@ class ModelRunner:
         ctx_small = min(4, self.block_size)
         widths = [ctx_small]
         if mode == "full":
-            # a context deep enough to hit the wide block-table tier
-            small_tier = min(32, self.max_blocks_per_seq)
-            if self.max_blocks_per_seq > small_tier:
-                widths.append((small_tier + 1) * self.block_size)
+            # one context per block-table ladder tier (_bt_width), so a
+            # serving run never recompiles as batches climb the ladder
+            w = 4
+            while w < self.max_blocks_per_seq:
+                w *= 2
+                widths.append((min(w, self.max_blocks_per_seq) - 1) * self.block_size + 1)
+        cap = self.max_blocks_per_seq * self.block_size
         for ctx in widths:
             for b in self.decode_buckets:
                 # the three sampling-flag programs: greedy (False,False),
@@ -825,10 +833,13 @@ class ModelRunner:
                     batch = self._dummy_batch(b, ctx, variant=variant)
                     self.run(batch)
                 if multi_step > 1:
-                    batch = self._dummy_batch(b, ctx, extra=multi_step)
+                    # the extra positions must still fit the block table
+                    c = min(ctx, cap - multi_step)
+                    batch = self._dummy_batch(b, c, extra=multi_step)
                     self.run_multi(batch, multi_step)
                 if spec_k > 0:
-                    batch = self._dummy_batch(b, ctx, extra=spec_k + 1)
+                    c = min(ctx, cap - spec_k - 1)
+                    batch = self._dummy_batch(b, c, extra=spec_k + 1)
                     self.run_verify(batch, [[1] * spec_k for _ in batch.seqs])
         if mode == "full":
             from vllm_rs_tpu.config import SamplingParams

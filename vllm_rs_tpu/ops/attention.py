@@ -174,21 +174,30 @@ def scatter_deferred_kv(
     v_news: jax.Array,
     slot_mapping: jax.Array,  # [B, 1] int32, pad == S
 ) -> jax.Array:
-    """One flat scatter installing every layer's deferred decode KV."""
+    """One flat scatter installing every layer's deferred decode KV.
+
+    Indices are made globally unique (padding rows get DISTINCT
+    out-of-bounds indices, all dropped) so the scatter can carry
+    unique_indices=True — without it XLA emits a serializing scatter that
+    costs ~55x its bytes on TPU (scatter_lab.py: 2.08 ms -> ~0.1 ms in
+    the B=256 decode step)."""
     L, _, S, F = kv.shape
     slots = slot_mapping.reshape(-1)  # [B]
     B = slots.shape[0]
     flat = kv.reshape(L * 2 * S, F)
     l_idx = jnp.arange(L, dtype=jnp.int32)[:, None]  # [L, 1]
     valid = slots[None, :] < S
-    oob = L * 2 * S  # dropped by mode="drop"
+    # distinct OOB index per (layer, row): dropped, and uniqueness holds
+    oob = L * 2 * S + l_idx * B + jnp.arange(B, dtype=jnp.int32)[None, :]
     k_idx = jnp.where(valid, (l_idx * 2) * S + slots[None, :], oob)
     v_idx = jnp.where(valid, (l_idx * 2 + 1) * S + slots[None, :], oob)
     flat = flat.at[k_idx.reshape(-1)].set(
-        k_news.reshape(L * B, F).astype(flat.dtype), mode="drop"
+        k_news.reshape(L * B, F).astype(flat.dtype),
+        mode="drop", unique_indices=True,
     )
     flat = flat.at[v_idx.reshape(-1)].set(
-        v_news.reshape(L * B, F).astype(flat.dtype), mode="drop"
+        v_news.reshape(L * B, F).astype(flat.dtype),
+        mode="drop", unique_indices=True,
     )
     return flat.reshape(L, 2, S, F)
 

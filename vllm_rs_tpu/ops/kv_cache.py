@@ -91,6 +91,21 @@ def is_quantized_kv(kv_l: KVLayer) -> bool:
     return isinstance(kv_l, tuple)
 
 
+def kv_slots(kv_l: KVLayer) -> int:
+    return (kv_l[0] if is_quantized_kv(kv_l) else kv_l).shape[1]
+
+
+def unique_pad_slots(slots: jax.Array, num_slots: int) -> jax.Array:
+    """Replace pad slots (== num_slots) with DISTINCT out-of-bounds indices
+    so KV scatters can claim unique_indices=True (pads are still dropped).
+    Valid slots are unique by construction (one slot per token); without
+    the uniqueness promise XLA emits a serializing scatter that costs ~55x
+    its bytes on TPU (scatter_lab.py, B=256 decode step)."""
+    n = slots.shape[0]
+    oob = num_slots + jnp.arange(n, dtype=slots.dtype)
+    return jnp.where(slots < num_slots, slots, oob)
+
+
 def write_kv_layer(
     kv_l: KVLayer,
     k_new: jax.Array,  # [B, T, Hk, D]
@@ -99,21 +114,22 @@ def write_kv_layer(
 ) -> KVLayer:
     """Scatter this step's K/V rows into the per-layer pool."""
     M = slot_mapping.size
-    flat_slots = slot_mapping.reshape(-1)
+    flat_slots = unique_pad_slots(slot_mapping.reshape(-1), kv_slots(kv_l))
     k_flat = k_new.reshape(M, -1)
     v_flat = v_new.reshape(M, -1)
+    _u = dict(mode="drop", unique_indices=True)
     if is_quantized_kv(kv_l):
         data, scales = kv_l
         Hk = scales.shape[-1]
         kq, ks = quantize_kv_rows(k_flat, Hk)
         vq, vs = quantize_kv_rows(v_flat, Hk)
-        data = data.at[0, flat_slots].set(kq, mode="drop")
-        data = data.at[1, flat_slots].set(vq, mode="drop")
-        scales = scales.at[0, flat_slots].set(ks, mode="drop")
-        scales = scales.at[1, flat_slots].set(vs, mode="drop")
+        data = data.at[0, flat_slots].set(kq, **_u)
+        data = data.at[1, flat_slots].set(vq, **_u)
+        scales = scales.at[0, flat_slots].set(ks, **_u)
+        scales = scales.at[1, flat_slots].set(vs, **_u)
         return (data, scales)
-    kv_l = kv_l.at[0, flat_slots].set(k_flat.astype(kv_l.dtype), mode="drop")
-    kv_l = kv_l.at[1, flat_slots].set(v_flat.astype(kv_l.dtype), mode="drop")
+    kv_l = kv_l.at[0, flat_slots].set(k_flat.astype(kv_l.dtype), **_u)
+    kv_l = kv_l.at[1, flat_slots].set(v_flat.astype(kv_l.dtype), **_u)
     return kv_l
 
 
@@ -126,11 +142,11 @@ def write_kv(
 ) -> Tuple[jax.Array, jax.Array]:
     """bf16 two-array form (kept for the Pallas kernel path + tests)."""
     M = slot_mapping.size
-    flat_slots = slot_mapping.reshape(-1)
+    flat_slots = unique_pad_slots(slot_mapping.reshape(-1), k_cache.shape[0])
     k_flat = k_new.reshape(M, -1).astype(k_cache.dtype)
     v_flat = v_new.reshape(M, -1).astype(v_cache.dtype)
-    k_cache = k_cache.at[flat_slots].set(k_flat, mode="drop")
-    v_cache = v_cache.at[flat_slots].set(v_flat, mode="drop")
+    k_cache = k_cache.at[flat_slots].set(k_flat, mode="drop", unique_indices=True)
+    v_cache = v_cache.at[flat_slots].set(v_flat, mode="drop", unique_indices=True)
     return k_cache, v_cache
 
 

@@ -38,9 +38,14 @@ def write_mla_cache(
     slot_mapping: jax.Array,  # [B, T] int32, pad == S (dropped)
 ) -> jax.Array:
     """concat_and_cache_mla: scatter latent rows into the pool."""
+    from vllm_rs_tpu.ops.kv_cache import unique_pad_slots
+
     B, T, R = ckv.shape
     row = jnp.concatenate([ckv, k_pe], axis=-1).reshape(B * T, -1)
-    return cache.at[slot_mapping.reshape(-1)].set(row.astype(cache.dtype), mode="drop")
+    slots = unique_pad_slots(slot_mapping.reshape(-1), cache.shape[0])
+    return cache.at[slots].set(
+        row.astype(cache.dtype), mode="drop", unique_indices=True
+    )
 
 
 def mla_paged_attention_deferred(
@@ -117,16 +122,20 @@ def scatter_deferred_mla(
     rows: jax.Array,  # [L, B, F] per-layer latent rows
     slot_mapping: jax.Array,  # [B, 1] int32, pad == S
 ) -> jax.Array:
-    """One flat scatter installing every layer's deferred latent row."""
+    """One flat scatter installing every layer's deferred latent row.
+    Unique indices (distinct OOB per padding row) — see
+    kv_cache.unique_pad_slots for why this matters on TPU."""
     L, S, F = pool.shape
     slots = slot_mapping.reshape(-1)
     B = slots.shape[0]
     flat = pool.reshape(L * S, F)
     l_idx = jnp.arange(L, dtype=jnp.int32)[:, None]
     valid = slots[None, :] < S
-    idx = jnp.where(valid, l_idx * S + slots[None, :], L * S)
+    oob = L * S + l_idx * B + jnp.arange(B, dtype=jnp.int32)[None, :]
+    idx = jnp.where(valid, l_idx * S + slots[None, :], oob)
     flat = flat.at[idx.reshape(-1)].set(
-        rows.reshape(L * B, F).astype(flat.dtype), mode="drop"
+        rows.reshape(L * B, F).astype(flat.dtype),
+        mode="drop", unique_indices=True,
     )
     return flat.reshape(L, S, F)
 
