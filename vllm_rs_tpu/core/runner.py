@@ -249,12 +249,18 @@ class ModelRunner:
         scheduler reserves blocks for a step's writes before run, so the
         current block tables already cover this step."""
         need = max((len(s.block_table) for s in seqs), default=1)
-        # power-of-two ladder from 4 pages up: every dead table column
-        # costs ~20ns x B x 2 planes of pipeline bookkeeping per layer in
-        # the decode kernel even though its DMA is elided (attn_lab3) — at
-        # B=256 a 16-wide tier over a 5-page need burned 3.7 ms/step. A
-        # batch's ctx grows monotonically, so a serving run climbs the
-        # ladder once (log2(max) compiles worst case, lazily).
+        # Dead table columns cost ~20ns x B x 2 planes of kernel pipeline
+        # bookkeeping per layer even when their DMA is elided (attn_lab3):
+        # at B=256 a 16-wide tier over a 5-page need burned 3.7 ms/step,
+        # while at B<=32 the whole effect is tens of microseconds. Tier
+        # count trades against mid-run recompiles (a tier crossing during
+        # a long decode stalls on an AOT compile), so: small batches keep
+        # the coarse two-tier scheme; large batches climb a power-of-two
+        # ladder (log2(max) compiles worst case, each hit once per run —
+        # warmup mode 'full' pre-compiles them all).
+        if len(seqs) <= 32:
+            small = min(32, self.max_blocks_per_seq)
+            return small if need <= small else self.max_blocks_per_seq
         w = 4
         while w < need:
             w *= 2
@@ -816,17 +822,27 @@ class ModelRunner:
         before = self.compile_cache_size()
         t0 = time.time()
         ctx_small = min(4, self.block_size)
-        widths = [ctx_small]
-        if mode == "full":
-            # one context per block-table ladder tier (_bt_width), so a
-            # serving run never recompiles as batches climb the ladder
+
+        def widths_for(b: int):
+            # mirror _bt_width's tier scheme so a serving run never
+            # recompiles as batches climb their ladder
+            out = [ctx_small]
+            if mode != "full":
+                return out
+            if b <= 32:  # coarse two-tier scheme
+                small = min(32, self.max_blocks_per_seq)
+                if self.max_blocks_per_seq > small:
+                    out.append((small + 1) * self.block_size)
+                return out
             w = 4
             while w < self.max_blocks_per_seq:
                 w *= 2
-                widths.append((min(w, self.max_blocks_per_seq) - 1) * self.block_size + 1)
+                out.append((min(w, self.max_blocks_per_seq) - 1) * self.block_size + 1)
+            return out
+
         cap = self.max_blocks_per_seq * self.block_size
-        for ctx in widths:
-            for b in self.decode_buckets:
+        for b in self.decode_buckets:
+            for ctx in widths_for(b):
                 # the three sampling-flag programs: greedy (False,False),
                 # filters only (True,False), filters+penalties (True,True)
                 for variant in ("greedy", "sampled", "penalized"):
