@@ -97,6 +97,143 @@ def pallas_scatter(kv, k_news, v_news, slot_mapping):
     )(sl, k_news, v_news, kv)
 
 
+def _scatter_kernel_flat(slots_ref, k_ref, v_ref, pool_ref, out_ref, sem):
+    # grid (L,): same row DMAs but over FLAT 1-D memrefs — Mosaic rejects
+    # 1-row slices of (8,128)-tiled 2-D memrefs; 1-D slices only need lane
+    # alignment and every offset here is a multiple of F=1024.
+    del pool_ref
+    li = pl.program_id(0)
+
+    def copies():
+        for plane, src in ((0, k_ref), (1, v_ref)):
+            for b in range(B):
+                s = slots_ref[b]
+                yield s, pltpu.make_async_copy(
+                    src.at[pl.ds((li * B + b) * F, F)],
+                    out_ref.at[pl.ds(((2 * li + plane) * S + s) * F, F)],
+                    sem.at[plane],
+                )
+
+    for s, dma in copies():
+        @pl.when(s < S)
+        def _(dma=dma):
+            dma.start()
+    for s, dma in copies():
+        @pl.when(s < S)
+        def _(dma=dma):
+            dma.wait()
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def pallas_scatter_flat(kv, k_news, v_news, slot_mapping):
+    sl = slot_mapping.reshape(-1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+    )
+    out = pl.pallas_call(
+        _scatter_kernel_flat,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L * 2 * S * F,), kv.dtype),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(sl, k_news.reshape(-1), v_news.reshape(-1), kv.reshape(-1))
+    return out.reshape(L, 2, S, F)
+
+
+HK, D = 8, 128
+
+
+def _scatter_kernel_3d(slots_ref, k_ref, v_ref, pool_ref, out_ref, sem):
+    # grid (L,): row DMAs over [rows, Hk, D]-shaped memrefs — only the
+    # UNTILED leading dim is sliced; the tiled trailing dims (Hk, D) stay
+    # full-extent (the pattern the paged-attention page DMAs use).
+    del pool_ref
+    li = pl.program_id(0)
+
+    def copies():
+        for plane, src in ((0, k_ref), (1, v_ref)):
+            for b in range(B):
+                s = slots_ref[b]
+                yield s, pltpu.make_async_copy(
+                    src.at[pl.ds(li * B + b, 1)],
+                    out_ref.at[pl.ds((2 * li + plane) * S + s, 1)],
+                    sem.at[plane],
+                )
+
+    for s, dma in copies():
+        @pl.when(s < S)
+        def _(dma=dma):
+            dma.start()
+    for s, dma in copies():
+        @pl.when(s < S)
+        def _(dma=dma):
+            dma.wait()
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def pallas_scatter_3d(kv, k_news, v_news, slot_mapping):
+    sl = slot_mapping.reshape(-1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+    )
+    out = pl.pallas_call(
+        _scatter_kernel_3d,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L * 2 * S, HK, D), kv.dtype),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        sl,
+        k_news.reshape(L * B, HK, D),
+        v_news.reshape(L * B, HK, D),
+        kv.reshape(L * 2 * S, HK, D),
+    )
+    return out.reshape(L, 2, S, F)
+
+
+def check(fn):
+    """Written-row verification against k_news/v_news (includes a pad
+    slot). Reuses (donates) the single global pool — a reference XLA pool
+    plus a test pool would be 3 x 7.5 GB and OOM the chip."""
+    global kv
+    sl = np.asarray(slots).copy()
+    sl[5, 0] = S  # pad row: must be dropped
+    sl_j = jnp.asarray(sl)
+    kv = fn(kv, k_news, v_news, sl_j)
+    flat = sl_j.reshape(-1)
+    valid = (flat < S)[None, :, None]
+    li = jnp.arange(L)[:, None]
+    safe = jnp.minimum(flat, S - 1)[None, :]
+    got_k = kv[li, 0, safe]  # [L, B, F]
+    got_v = kv[li, 1, safe]
+    ok = bool(
+        jnp.all(jnp.where(valid, got_k == k_news, True))
+        & jnp.all(jnp.where(valid, got_v == v_news, True))
+    )
+    print(f"parity: {'OK' if ok else 'MISMATCH'}", flush=True)
+    return ok
+
+
 def timeit(tag, fn):
     global kv
     # chain R applications in-graph, differenced
@@ -121,6 +258,19 @@ def timeit(tag, fn):
     print(f"{tag:10s} {per*1e3:7.3f} ms/scatter", flush=True)
 
 
-timeit("xla", lambda kv, k, v, s: xla_scatter(kv, k, v, s))
-timeit("xla_uniq", lambda kv, k, v, s: xla_scatter(kv, k, v, s, unique=True))
-timeit("pallas", lambda kv, k, v, s: pallas_scatter(kv, k, v, s))
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["xla", "xla_uniq", "pallas_flat"]
+    if "xla" in which:
+        timeit("xla", lambda kv, k, v, s: xla_scatter(kv, k, v, s))
+    if "xla_uniq" in which:
+        timeit("xla_uniq", lambda kv, k, v, s: xla_scatter(kv, k, v, s, unique=True))
+    if "pallas" in which:
+        # REJECTED by Mosaic: 1-row slices of (8,128)-tiled memrefs are not
+        # lowerable ("Slice shape along dimension 1 must be aligned to 8")
+        timeit("pallas", lambda kv, k, v, s: pallas_scatter(kv, k, v, s))
+    if "pallas_3d" in which:
+        check(pallas_scatter_3d)
+        timeit("pallas_3d", lambda kv, k, v, s: pallas_scatter_3d(kv, k, v, s))
+    if "pallas_flat" in which:
+        check(pallas_scatter_flat)
+        timeit("pallas_flat", lambda kv, k, v, s: pallas_scatter_flat(kv, k, v, s))
