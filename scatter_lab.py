@@ -21,10 +21,10 @@ L, B, F = 28, 256, 1024
 S = 65536
 BS = 64
 
-key = jax.random.PRNGKey(0)
-kv = jnp.zeros((L, 2, S, F), jnp.bfloat16)
-k_news = jax.random.normal(key, (L, B, F), jnp.bfloat16)
-v_news = jax.random.normal(key, (L, B, F), jnp.bfloat16)
+_kk, _kv = jax.random.split(jax.random.PRNGKey(0))  # distinct K/V so a
+kv = jnp.zeros((L, 2, S, F), jnp.bfloat16)          # plane swap is caught
+k_news = jax.random.normal(_kk, (L, B, F), jnp.bfloat16)
+v_news = jax.random.normal(_kv, (L, B, F), jnp.bfloat16)
 slots = jnp.asarray((np.arange(B) * 97) % S, jnp.int32).reshape(B, 1)
 
 
@@ -230,6 +230,13 @@ def check(fn):
         jnp.all(jnp.where(valid, got_k == k_news, True))
         & jnp.all(jnp.where(valid, got_v == v_news, True))
     )
+    # spot-check unwritten rows stayed zero (pool starts zeroed): catches
+    # out-of-place writes the written-row check can't see
+    unwritten = np.setdiff1d(np.arange(64), sl.reshape(-1) % S)[:8]
+    for s_un in unwritten:
+        if s_un in sl.reshape(-1):
+            continue
+        ok = ok and not bool(jnp.any(kv[:, :, int(s_un)] != 0))
     print(f"parity: {'OK' if ok else 'MISMATCH'}", flush=True)
     return ok
 
@@ -259,7 +266,7 @@ def timeit(tag, fn):
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["xla", "xla_uniq", "pallas_flat"]
+    which = sys.argv[1:] or ["xla", "xla_uniq", "pallas_3d"]
     if "xla" in which:
         timeit("xla", lambda kv, k, v, s: xla_scatter(kv, k, v, s))
     if "xla_uniq" in which:
@@ -269,8 +276,13 @@ if __name__ == "__main__":
         # lowerable ("Slice shape along dimension 1 must be aligned to 8")
         timeit("pallas", lambda kv, k, v, s: pallas_scatter(kv, k, v, s))
     if "pallas_3d" in which:
+        # WORKS on hardware (parity OK) but 64.9 ms/scatter vs xla_uniq's
+        # 1.9 ms in situ: 2 KB row DMAs are issue-rate-bound (~4.5 us each
+        # on the scalar core), not bandwidth-bound. Not wired.
         check(pallas_scatter_3d)
         timeit("pallas_3d", lambda kv, k, v, s: pallas_scatter_3d(kv, k, v, s))
     if "pallas_flat" in which:
+        # compiles but DIES AT RUNTIME on v5e (FailedPrecondition) — flat
+        # 1-D element-offset DMAs are not safe; use pallas_3d addressing
         check(pallas_scatter_flat)
         timeit("pallas_flat", lambda kv, k, v, s: pallas_scatter_flat(kv, k, v, s))

@@ -173,15 +173,28 @@ def scatter_deferred_kv(
     k_news: jax.Array,  # [L, B, F]
     v_news: jax.Array,
     slot_mapping: jax.Array,  # [B, 1] int32, pad == S
+    backend: str = "auto",
 ) -> jax.Array:
-    """One flat scatter installing every layer's deferred decode KV.
+    """One scatter installing every layer's deferred decode KV.
 
-    Indices are made globally unique (padding rows get DISTINCT
-    out-of-bounds indices, all dropped) so the scatter can carry
-    unique_indices=True — without it XLA emits a serializing scatter that
-    costs ~55x its bytes on TPU (scatter_lab.py: 2.08 ms -> ~0.1 ms in
-    the B=256 decode step)."""
+    Production path is the XLA scatter: indices are made globally unique
+    (padding rows get DISTINCT out-of-bounds indices, all dropped) so the
+    scatter can carry unique_indices=True — without it XLA emits a
+    serializing scatter that costs ~55x its bytes on TPU.
+
+    backend="pallas" selects the experimental row-DMA kernel
+    (ops/pallas/kv_scatter.py) — parity-verified on hardware but
+    measured SLOWER than the XLA scatter (64.9 vs 1.9 ms at the B=256
+    bench shape: 2 KB row DMAs are issue-rate-bound on the scalar core),
+    so "auto" never picks it."""
     L, _, S, F = kv.shape
+    if backend == "pallas":
+        from vllm_rs_tpu.ops.pallas import kv_scatter
+
+        if kv_scatter.supported(kv.shape, kv.dtype):
+            return kv_scatter.scatter_rows_pallas(
+                kv, k_news, v_news, slot_mapping.reshape(-1)
+            )
     slots = slot_mapping.reshape(-1)  # [B]
     B = slots.shape[0]
     flat = kv.reshape(L * 2 * S, F)
