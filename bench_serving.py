@@ -22,32 +22,30 @@ import time
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="8b", choices=["tiny", "0.6b", "3b", "8b"])
-    ap.add_argument("--streams", type=int, default=64)
-    ap.add_argument("--prompt-tokens", type=int, default=128)
-    ap.add_argument("--decode-tokens", type=int, default=128)
-    ap.add_argument("--multi-step", type=int, default=8)
-    args = ap.parse_args()
+def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
+                multi_step=16, baseline=120.74):
+    """Run the continuous-batching serving bench on an existing engine.
 
-    import bench
+    Reconfigures the scheduler for `streams` concurrency, runs a warmup
+    burst plus two timed passes, and returns the metric dict (the hot
+    pass). Callable from bench.py's default headline run."""
+    import dataclasses
 
     from vllm_rs_tpu.config import SamplingParams
 
-    # build via bench.py's config, overriding scheduler for serving
-    import dataclasses
-
-    engine = bench.build(args.size)
     engine.econfig = dataclasses.replace(
         engine.econfig,
         scheduler=dataclasses.replace(
             engine.econfig.scheduler,
-            max_num_seqs=max(args.streams, 8),
-            multi_step_decode=args.multi_step,
+            max_num_seqs=max(streams, 8),
+            multi_step_decode=multi_step,
         ),
     )
     engine.scheduler.config = engine.econfig.scheduler
+    args = argparse.Namespace(
+        streams=streams, prompt_tokens=prompt_tokens,
+        decode_tokens=decode_tokens, multi_step=multi_step,
+    )
     vocab = engine.econfig.model.vocab_size
     rs = np.random.RandomState(0)
 
@@ -124,22 +122,43 @@ def main():
     def pct(v, p):
         return v[min(int(len(v) * p / 100), len(v) - 1)] if v else 0.0
 
+    return {
+        "metric": "serving_throughput_tokens_per_sec",
+        "value": round(total_tokens / wall, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(total_tokens / wall / baseline, 4),
+        "streams": args.streams,
+        "p50_ttft_s": round(pct(ttfts, 50), 3),
+        "p99_ttft_s": round(pct(ttfts, 99), 3),
+        "p50_itl_ms": round(pct(all_itls, 50) * 1e3, 2),
+        "p99_itl_ms": round(pct(all_itls, 99) * 1e3, 2),
+        "total_tokens": total_tokens,
+        "dropped_streams": dropped,
+        "wall_s": round(wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="8b", choices=["tiny", "0.6b", "3b", "8b"])
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--prompt-tokens", type=int, default=128)
+    ap.add_argument("--decode-tokens", type=int, default=128)
+    ap.add_argument("--multi-step", type=int, default=8)
+    args = ap.parse_args()
+
+    import bench
+
+    engine = bench.build(args.size)
     print(
         json.dumps(
-            {
-                "metric": "serving_throughput_tokens_per_sec",
-                "value": round(total_tokens / wall, 2),
-                "unit": "tokens/s/chip",
-                "vs_baseline": round(total_tokens / wall / 120.74, 4),
-                "streams": args.streams,
-                "p50_ttft_s": round(pct(ttfts, 50), 3),
-                "p99_ttft_s": round(pct(ttfts, 99), 3),
-                "p50_itl_ms": round(pct(all_itls, 50) * 1e3, 2),
-                "p99_itl_ms": round(pct(all_itls, 99) * 1e3, 2),
-                "total_tokens": total_tokens,
-                "dropped_streams": dropped,
-                "wall_s": round(wall, 1),
-            }
+            serve_bench(
+                engine,
+                streams=args.streams,
+                prompt_tokens=args.prompt_tokens,
+                decode_tokens=args.decode_tokens,
+                multi_step=args.multi_step,
+            )
         )
     )
 
