@@ -160,6 +160,10 @@ class LLMEngine:
         self.mh_role: Optional[str] = None
         self.mh_feed = None  # StepFeed (leader)
         self.mh_follower = None  # StepFollower
+        # set to the failure reason when a multi-host peer is lost /
+        # desynced; every in-flight request is cancelled and the loop stops
+        # (reference heartbeat abort semantics, utils/heartbeat.rs:43-66)
+        self.mh_failed: Optional[str] = None
         self.step_index = 0
         self._mh_pending_admissions: list = []
         self._mh_pending_finishes: list = []  # (seq_id, reason_str)
@@ -243,7 +247,9 @@ class LLMEngine:
 
     def _mh_follower_drain(self) -> bool:
         """Block for this step's marker (poll briefly when idle). Returns
-        False when idle with no marker pending."""
+        False when idle with no marker pending. Raises PeerLostError /
+        StepDesyncError (handled in step()) when the leader is gone or the
+        control streams diverged."""
         with self._lock:
             has_work = self.scheduler.has_work()
         marker = self.mh_follower.next_marker(
@@ -256,6 +262,34 @@ class LLMEngine:
                 marker["admissions"], marker["finishes"], marker["aborts"]
             )
         return True
+
+    def _mh_fail(self, reason: str) -> None:
+        """A multi-host peer died or desynced: cancel every in-flight
+        request, stop the loop, and record the reason (mh_failed) so the
+        serving process can exit non-zero. Surviving without the peer is
+        not an option — the next pjit collective would hang forever.
+        Reference: engine-loop error cancel-all + heartbeat abort
+        (engine.rs:1707-1745, heartbeat.rs:43-66)."""
+        logger.error("multi-host failure: %s — cancelling all requests", reason)
+        self.mh_failed = reason
+        self._running = False
+        with self._lock:
+            for st in self.requests.values():
+                if not st.seq.is_finished:
+                    seq = self.scheduler.abort(st.seq.seq_id)
+                    if seq is not None:
+                        self._free_mamba(seq)
+                    st.stream.put(
+                        StreamItem(
+                            seq_id=st.seq.seq_id,
+                            finished=True,
+                            finish_reason="error",
+                        )
+                    )
+        if self.mh_feed is not None:
+            self.mh_feed.close()
+        if self.mh_follower is not None:
+            self.mh_follower.close()
 
     def _trace(self, batch) -> None:
         if self.schedule_trace is not None:
@@ -458,29 +492,45 @@ class LLMEngine:
     def step(self) -> int:
         """One engine iteration. Returns number of sequences stepped."""
         if self.mh_role == "follower":
-            if not self._mh_follower_drain():
-                return 0
+            from vllm_rs_tpu.parallel.multihost import PeerLostError, StepDesyncError
+
+            try:
+                if not self._mh_follower_drain():
+                    return 0
+            except (PeerLostError, StepDesyncError) as e:
+                self._mh_fail(str(e))
+                raise
             with self._lock:
                 batch = self.scheduler.schedule()
                 self._trace(batch)
                 self.step_index += 1
         elif self.mh_role == "leader":
-            with self._lock:
-                if (
-                    not self._mh_pending_admissions
-                    and not self._mh_pending_finishes
-                    and not self._mh_pending_aborts
-                    and not self.scheduler.has_work()
-                ):
-                    return 0
-                adm, wire, fins, abr = self._mh_take_pending()
-                # publish BEFORE applying: followers must never observe a
-                # schedule the leader ran with events they don't have
-                self.mh_feed.publish(self.step_index, wire, fins, abr)
-                self._mh_apply(adm, fins, abr)
-                batch = self.scheduler.schedule()
-                self._trace(batch)
-                self.step_index += 1
+            from vllm_rs_tpu.parallel.multihost import PeerLostError, StepDesyncError
+
+            try:
+                with self._lock:
+                    # liveness check runs every loop iteration, idle ones
+                    # included — a follower death must surface even when no
+                    # requests are flowing
+                    self.mh_feed.check_liveness()
+                    if (
+                        not self._mh_pending_admissions
+                        and not self._mh_pending_finishes
+                        and not self._mh_pending_aborts
+                        and not self.scheduler.has_work()
+                    ):
+                        return 0
+                    adm, wire, fins, abr = self._mh_take_pending()
+                    # publish BEFORE applying: followers must never observe a
+                    # schedule the leader ran with events they don't have
+                    self.mh_feed.publish(self.step_index, wire, fins, abr)
+                    self._mh_apply(adm, fins, abr)
+                    batch = self.scheduler.schedule()
+                    self._trace(batch)
+                    self.step_index += 1
+            except (PeerLostError, StepDesyncError) as e:
+                self._mh_fail(str(e))
+                raise
         else:
             with self._lock:
                 batch = self.scheduler.schedule()

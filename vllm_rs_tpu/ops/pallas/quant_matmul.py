@@ -139,6 +139,31 @@ def _int8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k: int, group: int)
 # ---------------------------------------------------------------------------
 
 
+# Per-shape (K_steps, N) → (BK, BN) tile overrides for decode-regime
+# (M ≤ A8_MAX_ROWS) matmuls, each validated END-TO-END through bench.py
+# (the repo rule: isolated chain sweeps don't transfer — PERF_NOTES
+# round-2 finding #4). Populated by the round-3 gate_up/down tuning runs.
+_TILE_OVERRIDES: dict = {}
+
+
+def _env_tile_overrides():
+    """VLLM_RS_TPU_TILES="KSTEPSxN:BK,BN;..." — experiment hook so tile
+    candidates can be swept through bench.py without code edits."""
+    import os
+
+    out = {}
+    spec = os.environ.get("VLLM_RS_TPU_TILES", "")
+    for entry in filter(None, spec.split(";")):
+        shape, _, tile = entry.partition(":")
+        ks, _, n = shape.partition("x")
+        bk, _, bn = tile.partition(",")
+        out[(int(ks), int(n))] = (int(bk), int(bn))
+    return out
+
+
+_TILE_OVERRIDES.update(_env_tile_overrides())
+
+
 def _pick_tiles(M: int, K_steps: int, N: int, group_rows: int):
     """(BM, BK, BN): BK in grid-step rows of the weight operand, always a
     multiple of the group size (one scale row per in-kernel dot).
@@ -148,6 +173,14 @@ def _pick_tiles(M: int, K_steps: int, N: int, group_rows: int):
     chain numbers have ±15% run-to-run variance and a different pipeline
     regime; tile changes must be validated through bench.py."""
     BM = min(_round_up(M, 16), 256)
+    ov = _TILE_OVERRIDES.get((K_steps, N))
+    if ov is not None and M <= A8_MAX_ROWS:
+        BK, BN = ov
+        if (
+            K_steps % BK == 0 and BK % group_rows == 0
+            and N % BN == 0 and BN % 128 == 0 and (BK >= 128 or BK == K_steps)
+        ):
+            return BM, BK, BN
     BN = 128
     for d in range(2048, 127, -128):
         if N % d == 0:

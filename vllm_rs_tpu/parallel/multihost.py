@@ -34,14 +34,44 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import queue
 import socket
 import struct
 import threading
 import time
-from typing import Callable, List, Optional
+from typing import Callable, Dict, List, Optional
 
 logger = logging.getLogger(__name__)
+
+
+class PeerLostError(RuntimeError):
+    """A multi-host peer died or went silent. Surviving hosts must cancel
+    in-flight requests and exit — their next pjit collective would hang
+    forever waiting for the dead host's chips. Reference counterpart:
+    heartbeat abort after 5 missed pings / runner exit on parent EOF
+    (src/utils/heartbeat.rs:8-78, utils/command.rs)."""
+
+
+class StepDesyncError(RuntimeError):
+    """The step-marker streams diverged (marker gap): scheduler state is no
+    longer bit-identical across hosts — fatal, cancel and exit."""
+
+
+# Liveness knobs (documented in STATUS.md §2.6): markers double as leader→
+# follower liveness; followers send 1 Hz heartbeat frames back on the feed
+# socket (the reference's heartbeat.rs 1 Hz ping). A follower with
+# HB_MISS_LIMIT stale intervals, a failed marker send, or a marker wait
+# exceeding the timeout declares the peer lost.
+HB_INTERVAL_S = 1.0
+HB_MISS_LIMIT = 5
+
+
+def mh_timeout_s() -> float:
+    """Bound on any cross-host wait (marker arrival on followers). Also the
+    knob to raise when single steps legitimately take longer (giant
+    prefills): VLLM_RS_TPU_MH_TIMEOUT_S, default 60 s."""
+    return float(os.environ.get("VLLM_RS_TPU_MH_TIMEOUT_S", "60"))
 
 
 def init_distributed(
@@ -110,6 +140,10 @@ class StepFeed:
         self._srv.listen(64)
         self.port = self._srv.getsockname()[1]
         self._followers: List[socket.socket] = []
+        self._last_heard: Dict[socket.socket, float] = {}
+        self._lost = 0  # followers that died after connecting
+        self.expected = 0  # set by wait_followers; >0 makes loss fatal
+        self._closed = False
         self._lock = threading.Lock()
         self._accept_thread = threading.Thread(target=self._accept, daemon=True)
         self._accept_thread.start()
@@ -123,6 +157,29 @@ class StepFeed:
                 return
             with self._lock:
                 self._followers.append(conn)
+                self._last_heard[conn] = time.monotonic()
+            threading.Thread(
+                target=self._reader, args=(conn,), daemon=True
+            ).start()
+
+    def _reader(self, conn: socket.socket) -> None:
+        """Drain follower→leader heartbeat frames ({"hb": 1} at 1 Hz),
+        refreshing last_heard; EOF/error marks the follower lost."""
+        try:
+            while True:
+                _recv_frame(conn)
+                with self._lock:
+                    self._last_heard[conn] = time.monotonic()
+        except (ConnectionError, OSError):
+            self._drop(conn)
+
+    def _drop(self, conn: socket.socket) -> None:
+        with self._lock:
+            if conn in self._followers:
+                self._followers.remove(conn)
+                self._last_heard.pop(conn, None)
+                if not self._closed:
+                    self._lost += 1
 
     def num_followers(self) -> int:
         with self._lock:
@@ -130,7 +187,9 @@ class StepFeed:
 
     def wait_followers(self, n: int, timeout: float = 60.0) -> None:
         """Block until n followers are connected (call before serving — a
-        marker published before a follower joins is lost to it)."""
+        marker published before a follower joins is lost to it). From this
+        point follower loss is FATAL: check_liveness()/publish() raise
+        PeerLostError."""
         deadline = time.time() + timeout
         while self.num_followers() < n:
             if time.time() > deadline:
@@ -138,6 +197,28 @@ class StepFeed:
                     f"only {self.num_followers()}/{n} followers connected"
                 )
             time.sleep(0.01)
+        self.expected = n
+
+    def check_liveness(self) -> None:
+        """Raise PeerLostError when a follower died (socket EOF) or its
+        heartbeat is stale beyond HB_MISS_LIMIT intervals. Called by the
+        leader every engine-loop iteration (including idle ones)."""
+        if not self.expected or self._closed:
+            return
+        with self._lock:
+            if self._lost:
+                raise PeerLostError(
+                    f"{self._lost} follower(s) disconnected "
+                    f"({len(self._followers)}/{self.expected} alive)"
+                )
+            now = time.monotonic()
+            stale = HB_INTERVAL_S * HB_MISS_LIMIT
+            for conn, heard in self._last_heard.items():
+                if now - heard > stale:
+                    raise PeerLostError(
+                        f"follower heartbeat silent for {now - heard:.1f}s "
+                        f"(> {stale:.0f}s)"
+                    )
 
     def publish(
         self,
@@ -146,7 +227,10 @@ class StepFeed:
         finishes: Optional[list] = None,
         aborts: Optional[list] = None,
     ) -> None:
-        """Broadcast the step-k marker to all followers, in order."""
+        """Broadcast the step-k marker to all followers, in order. After
+        wait_followers, a send failure raises PeerLostError (a follower
+        missing a marker would deadlock the surviving hosts' collectives);
+        before it (tests, ad-hoc feeds), dead followers drop silently."""
         marker = {
             "step": step,
             "admissions": admissions or [],
@@ -160,10 +244,12 @@ class StepFeed:
                     _send_frame(f, marker)
                 except OSError:
                     dead.append(f)
-            for f in dead:
-                self._followers.remove(f)
+        for f in dead:
+            self._drop(f)
+        self.check_liveness()
 
     def close(self) -> None:
+        self._closed = True
         self._srv.close()
         with self._lock:
             for f in self._followers:
@@ -177,13 +263,19 @@ class StepFollower:
     """Follower-side: receive step markers and hand them to the engine
     loop strictly in step order."""
 
-    def __init__(self, addr):
+    def __init__(self, addr, heartbeat: bool = True):
         self._sock = socket.create_connection(addr)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._q: "queue.Queue[dict]" = queue.Queue()
         self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+        if heartbeat:
+            # 1 Hz follower→leader liveness ping on the feed socket (the
+            # reference's heartbeat.rs ping); the reader thread never
+            # writes, so the socket's send side is single-threaded here
+            self._hb_thread = threading.Thread(target=self._heartbeat, daemon=True)
+            self._hb_thread.start()
 
     def _run(self) -> None:
         try:
@@ -191,19 +283,53 @@ class StepFollower:
                 self._q.put(_recv_frame(self._sock))
         except (ConnectionError, OSError):
             self._closed = True
+            # sentinel wakes a next_marker blocked in q.get immediately
+            # instead of after the full marker timeout
+            self._q.put({"step": None})
             return
 
+    def _heartbeat(self) -> None:
+        while not self._closed:
+            time.sleep(HB_INTERVAL_S)
+            try:
+                _send_frame(self._sock, {"hb": 1})
+            except OSError:
+                self._closed = True
+                return
+
     def next_marker(self, step: int, timeout: Optional[float] = None) -> Optional[dict]:
-        """Block until the marker for `step` arrives (None on timeout).
-        Markers arrive strictly in order; a step mismatch means the
-        control streams diverged and is fatal."""
+        """Block until the marker for `step` arrives.
+
+        timeout=None means "the engine has work and NEEDS this marker":
+        waits up to mh_timeout_s() then raises PeerLostError (a leader that
+        stops publishing mid-stream is dead or hung — the reference's
+        runner exits on parent EOF, utils/command.rs). An explicit short
+        timeout is an idle poll: returns None when nothing arrived, unless
+        the feed is closed (leader EOF) → PeerLostError.
+
+        Markers arrive strictly in order; a step mismatch means the control
+        streams diverged → StepDesyncError (fatal: scheduler state is no
+        longer bit-identical)."""
+        fatal = timeout is None
+        if fatal:
+            timeout = mh_timeout_s()
         try:
             marker = self._q.get(timeout=timeout)
         except queue.Empty:
+            if self._closed:
+                raise PeerLostError("step feed closed (leader gone)") from None
+            if fatal:
+                raise PeerLostError(
+                    f"no step marker within {timeout:.0f}s "
+                    "(VLLM_RS_TPU_MH_TIMEOUT_S)"
+                ) from None
             return None
-        assert marker["step"] == step, (
-            f"step-marker gap: got {marker['step']}, expected {step}"
-        )
+        if marker["step"] is None:  # EOF sentinel from the reader thread
+            raise PeerLostError("step feed closed (leader gone)")
+        if marker["step"] != step:
+            raise StepDesyncError(
+                f"step-marker gap: got {marker['step']}, expected {step}"
+            )
         return marker
 
     def close(self) -> None:

@@ -137,6 +137,25 @@ def main() -> None:
         assert args.pd_server is None and args.pd_client is None, (
             "PD disaggregation and multi-host serving cannot be combined"
         )
+        def _mh_watchdog(eng):
+            # exit the whole process when a peer is lost: followers hold no
+            # client connections, and a leader without its followers cannot
+            # run another collective — lingering would just hang clients
+            # (reference: runner process::exit on parent loss / heartbeat
+            # abort, utils/heartbeat.rs:43-66)
+            import threading as _t
+            import time as _time
+
+            def watch():
+                while eng.mh_failed is None:
+                    _time.sleep(0.25)
+                logging.getLogger(__name__).error(
+                    "multi-host peer lost (%s); exiting", eng.mh_failed
+                )
+                os._exit(1)
+
+            _t.Thread(target=watch, daemon=True, name="mh-watchdog").start()
+
         if jax.process_index() == 0:
             feed = StepFeed(port=args.feed_port)
             engine.enable_multihost_leader(feed)
@@ -146,6 +165,7 @@ def main() -> None:
                 n_followers, feed.port,
             )
             feed.wait_followers(n_followers, timeout=600)
+            _mh_watchdog(engine)
         else:
             host = args.feed_host or (
                 args.coordinator.split(":")[0] if args.coordinator else "localhost"
@@ -153,6 +173,7 @@ def main() -> None:
             follower = StepFollower((host, args.feed_port))
             engine.enable_multihost_follower(follower)
             engine.start_loop()
+            _mh_watchdog(engine)
             logging.getLogger(__name__).info(
                 "multihost follower %d serving headless", jax.process_index()
             )
