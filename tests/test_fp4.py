@@ -136,6 +136,60 @@ def _loaded_leaf(loaded, name, i):
     return _np(w[i])
 
 
+def test_auto_isq_requantizes_fp4_to_int4(tmp_path):
+    """quant="auto" (the default) must detect FP4 checkpoints and load the
+    projections as packed int4 — streaming at 4-bit instead of
+    materializing bf16 at 4x the checkpoint bytes (VERDICT r2 item 6;
+    reference keeps FP4 packed end-to-end, linear.rs:1080-1306). The auto
+    path must be bit-identical to quantizing the bf16-materialized path."""
+    from vllm_rs_tpu.models.llama import CausalLM
+    from vllm_rs_tpu.quant.pack import PackedInt4Tensor, quantize_param
+    from vllm_rs_tpu.utils.loader import detect_checkpoint_fp4, SafetensorsDir
+
+    cfg = _tiny_cfg()
+    model = CausalLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(5))
+    for fmt in ("mxfp4", "nvfp4"):
+        sd = _pack_linears_fp4(_llama_to_hf(params, cfg), fmt)
+        d = tmp_path / fmt
+        d.mkdir()
+        _save(sd, d / "model.safetensors")
+        assert detect_checkpoint_fp4(SafetensorsDir(str(d))) == fmt
+        # tiny K=64 projections need group 32 to be divisible
+        auto = load_params(str(d), cfg, quant_group=32)  # quant defaults to "auto"
+        bf16 = load_params(str(d), cfg, quant=None)
+        for name in ("q", "k", "v", "o"):
+            leaf = auto["layers"][name]
+            if isinstance(leaf, Linear):
+                leaf, ref = leaf.w, bf16["layers"][name].w
+            else:
+                ref = bf16["layers"][name]
+            assert isinstance(leaf, PackedInt4Tensor), (fmt, name)
+            want = jax.vmap(lambda x: quantize_param(x, "int4", 32))(ref)
+            np.testing.assert_array_equal(_np(leaf.qweight), _np(want.qweight))
+            np.testing.assert_allclose(_np(leaf.scales), _np(want.scales))
+
+
+def test_auto_isq_noop_on_plain_checkpoints(tmp_path):
+    """Non-FP4 checkpoints load unquantized under quant="auto"."""
+    from vllm_rs_tpu.models.llama import CausalLM
+    from vllm_rs_tpu.utils.loader import detect_checkpoint_fp4, SafetensorsDir
+
+    cfg = _tiny_cfg()
+    model = CausalLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(6))
+    sd = _llama_to_hf(params, cfg)
+    d = tmp_path / "plain"
+    d.mkdir()
+    _save(sd, d / "model.safetensors")
+    assert detect_checkpoint_fp4(SafetensorsDir(str(d))) is None
+    loaded = load_params(str(d), cfg)
+    leaf = loaded["layers"]["q"]
+    if isinstance(leaf, Linear):
+        leaf = leaf.w
+    assert leaf.dtype == jnp.bfloat16
+
+
 def test_loader_decodes_fp4_checkpoints(tmp_path):
     from vllm_rs_tpu.models.llama import CausalLM
 
@@ -147,7 +201,9 @@ def test_loader_decodes_fp4_checkpoints(tmp_path):
         d = tmp_path / fmt
         d.mkdir()
         _save(sd, d / "model.safetensors")
-        loaded = load_params(str(d), cfg)
+        # quant=None: the explicit --quant none escape hatch (the default
+        # "auto" would requantize fp4 checkpoints to packed int4)
+        loaded = load_params(str(d), cfg, quant=None)
         # compare each projection against the packed tensors' own dequant
         # (transposed to our [K, N])
         for i in range(cfg.num_hidden_layers):

@@ -32,7 +32,10 @@ class EngineBuilder:
     """Fluent engine construction (reference api.rs:26-120)."""
 
     model_path: str
-    quant: Optional[str] = None  # None | "int8" | "int4" (ISQ on load)
+    # "auto" (default): int4 ISQ for FP4 checkpoints so weights stream at
+    # 4-bit, no ISQ otherwise; None/"none" | "int8" | "int4" override
+    # (reference api.rs isq option; FP4 streaming: linear.rs:1080-1306)
+    quant: Optional[str] = "auto"
     quant_group: int = 128
     block_size: int = 16
     max_model_len: int = 8192
@@ -61,12 +64,29 @@ class EngineBuilder:
 
         mp = resolve_model(os.path.expanduser(self.model_path))
         path = mp.model_dir
+        # resolve quant="auto" here so the engine config records the ISQ
+        # format actually applied (FP4 checkpoints → int4; see
+        # utils/loader.py resolve_auto_quant)
+        quant = self.quant
+        if quant == "none":
+            quant = None
+        if quant == "auto":
+            if mp.is_gguf:
+                quant = None  # GGUF tensors are already quantized
+            else:
+                from vllm_rs_tpu.utils.loader import (
+                    SafetensorsDir, resolve_auto_quant,
+                )
+
+                quant, _ = resolve_auto_quant(
+                    SafetensorsDir(path), "auto", self.quant_group
+                )
         if mp.is_gguf:
             from vllm_rs_tpu.utils.loader import load_gguf_model
 
             gguf_path = mp.weight_files[0]
             model, params = load_gguf_model(
-                gguf_path, quant=self.quant, quant_group=self.quant_group,
+                gguf_path, quant=quant, quant_group=self.quant_group,
                 block_size=self.block_size,
             )
             tokenizer = _tokenizer_near(path)
@@ -78,7 +98,7 @@ class EngineBuilder:
             from vllm_rs_tpu.utils.loader import load_model
 
             model, params = load_model(
-                path, quant=self.quant, quant_group=self.quant_group,
+                path, quant=quant, quant_group=self.quant_group,
                 block_size=self.block_size,
                 yarn_scaling_factor=self.yarn_scaling_factor,
             )
@@ -105,7 +125,7 @@ class EngineBuilder:
         )
         econfig = EngineConfig(
             model=config, cache=cache, scheduler=sched,
-            quant=self.quant, quant_group=self.quant_group,
+            quant=quant, quant_group=self.quant_group,
             tp_size=self.tp_size, dp_size=self.dp_size, seed=self.seed,
         )
         mesh = None

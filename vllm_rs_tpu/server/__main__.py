@@ -17,8 +17,12 @@ def main() -> None:
     ap.add_argument("--served-model-name", default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
-    ap.add_argument("--quant", choices=["int8", "int4"], default=None,
-                    help="in-situ quantization of loaded weights (ISQ)")
+    ap.add_argument("--quant", choices=["auto", "int8", "int4", "none"],
+                    default="auto",
+                    help="in-situ quantization of loaded weights (ISQ); "
+                    "auto = int4 for FP4 (mxfp4/nvfp4) checkpoints so "
+                    "weights stream at 4-bit, none otherwise; "
+                    "none = always materialize bf16")
     ap.add_argument("--quant-group", type=int, default=128)
     ap.add_argument("--max-model-len", type=int, default=8192)
     ap.add_argument("--max-num-seqs", type=int, default=64)

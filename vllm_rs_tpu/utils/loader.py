@@ -58,6 +58,71 @@ class SafetensorsDir:
         return self._handles[self._index[key]].get_tensor(key)
 
 
+def detect_checkpoint_fp4(st) -> Optional[str]:
+    """Return "mxfp4"/"nvfp4" when the checkpoint stores packed-FP4 linears
+    (reference LnMxfp4/LnNvfp4, linear.rs:1080-1306), else None.
+
+    Markers: nibble blocks under `.weight_packed`/`.blocks`, or a uint8
+    `.weight` next to `.weight_scale`; nvfp4 additionally carries a global
+    scale (`.weight_scale_2` modelopt / `.weight_global_scale` ct) or per-16
+    E4M3 block scales (vs mxfp4's per-32 E8M0)."""
+    for k in st.keys():
+        if k.endswith(".weight_scale_2") or k.endswith(".weight_global_scale"):
+            return "nvfp4"
+    for k in st.keys():
+        base = None
+        if k.endswith(".weight_packed"):
+            base = k[: -len(".weight_packed")]
+        elif k.endswith(".blocks"):
+            base = k[: -len(".blocks")]
+        elif k.endswith(".weight_scale"):
+            b = k[: -len(".weight_scale")]
+            if b + ".weight" in st and st.get(b + ".weight").dtype == jnp.uint8:
+                base = b
+        if base is None:
+            continue
+        for skey in (".weight_scale", ".scales"):
+            if base + skey not in st:
+                continue
+            scales = st.get(base + skey)
+            for bkey in (".weight_packed", ".blocks", ".weight"):
+                if base + bkey in st:
+                    K = st.get(base + bkey).shape[-1] * 2
+                    return "mxfp4" if scales.shape[-1] * 32 == K else "nvfp4"
+    return None
+
+
+def resolve_auto_quant(st, quant: Optional[str], quant_group: int):
+    """Resolve quant="auto" (the default): FP4 checkpoints requantize to
+    packed int4 on load so weights STREAM at ~4 bit — without this, an
+    NVFP4 checkpoint materializes at 4x its bytes and decodes at bf16
+    bandwidth, defeating the format's entire point (reference keeps FP4
+    packed end-to-end in its LnMxfp4/LnNvfp4 GEMMs, linear.rs:1080-1306;
+    TPU has no FP4 datapath, so canonical int4 is the streaming form).
+    `--quant none` is the explicit escape hatch to bf16 materialization.
+
+    Group size stays at the caller's (default 128) rather than the fp4
+    block size (16/32): the fused kernels do one MXU dot per group, and a
+    depth-16 dot uses 1/8 of the 128-deep systolic pass — group=16 would
+    cost 8x the MXU passes of group=128 exactly where batch-1 decode is
+    MXU-pass-bound (PERF_NOTES.md roofline). The requantization error vs
+    native FP4 is the price of streaming on this hardware; use
+    --quant-group 32 to trade decode speed for per-block fidelity."""
+    if quant == "none":
+        return None, quant_group
+    if quant != "auto":
+        return quant, quant_group
+    fmt = detect_checkpoint_fp4(st)
+    if fmt is None:
+        return None, quant_group
+    logger.info(
+        "auto-ISQ: %s checkpoint requantized to int4 (group %d) so weights "
+        "stream at 4-bit; pass --quant none to materialize bf16 instead",
+        fmt, quant_group,
+    )
+    return "int4", quant_group
+
+
 def _maybe_quant(w: jax.Array, quant: Optional[str], group: int):
     if quant is None or w.ndim != 2:
         return w
@@ -850,7 +915,7 @@ def load_params(
     src,
     config: ModelConfig,
     *,
-    quant: Optional[str] = None,
+    quant: Optional[str] = "auto",
     quant_group: int = 128,
     dtype=jnp.bfloat16,
 ) -> dict:
@@ -858,8 +923,13 @@ def load_params(
 
     `src` is a model directory (safetensors shards) or any state-dict-like
     object with get/keys/__contains__ (e.g. utils.gguf.GGUFStateDict).
+
+    quant="auto" (default) applies int4 ISQ to FP4 checkpoints so their
+    weights stream at 4-bit (see resolve_auto_quant); other checkpoints
+    load as-is. Explicit None/"none" disables ISQ; "int4"/"int8" force it.
     """
     st = SafetensorsDir(src) if isinstance(src, str) else src
+    quant, quant_group = resolve_auto_quant(st, quant, quant_group)
     ld = _Loader(st, config, quant, quant_group, dtype)
     cfg = config
     if cfg.model_type.startswith("gemma4"):
@@ -957,9 +1027,12 @@ def apply_yarn_override(cfg_dict: dict, factor: float) -> dict:
     return cfg_dict
 
 
-def load_model(model_dir: str, *, quant=None, quant_group: int = 128,
+def load_model(model_dir: str, *, quant="auto", quant_group: int = 128,
                block_size: int = 16, yarn_scaling_factor: float = 0.0):
     """config.json + safetensors → (model instance, params).
+
+    quant="auto" (default) requantizes FP4 checkpoints to packed int4 on
+    load (resolve_auto_quant); "none"/None disables ISQ.
 
     yarn_scaling_factor > 0 overrides/installs YaRN rope scaling from the
     CLI (reference --yarn-scaling-factor, utils/mod.rs:640-706): extends the
