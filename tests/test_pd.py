@@ -73,6 +73,73 @@ class TestPdRoundTrip:
         assert client.should_offload(list(range(128)))
 
 
+class TestSameHostFastPath:
+    def test_local_prefill_matches_local_and_stays_on_device(self, monkeypatch):
+        """Same-host PD handoff (reference CUDA-IPC path,
+        transfer/cuda_remote.rs): KV moves device-to-device — the host
+        staging helpers (_kv_to_wire/_kv_from_wire/swap_out) must never
+        run, and the gathered pytree must be jax device arrays."""
+        import vllm_rs_tpu.transfer.pd as pd_mod
+        from vllm_rs_tpu.core.runner import ModelRunner as MR
+
+        server_engine = _engine()
+        client_engine = _engine()
+        server = PdServer(server_engine, port=0)  # no start(): no TCP at all
+
+        def _boom(*a, **k):
+            raise AssertionError("host staging used on the same-host fast path")
+
+        monkeypatch.setattr(pd_mod, "_kv_to_wire", _boom)
+        monkeypatch.setattr(pd_mod, "_kv_from_wire", _boom)
+        monkeypatch.setattr(MR, "swap_out", _boom)
+
+        gathered = []
+        orig = MR.gather_blocks_device
+
+        def spy(self, bt):
+            out = orig(self, bt)
+            gathered.append(out)
+            return out
+
+        monkeypatch.setattr(MR, "gather_blocks_device", spy)
+
+        client = PdClient(client_engine, local_server=server, min_prompt_len=4)
+        prompt = list(range(2, 20))
+        sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+        sid = client.prefill_remote(prompt, sp)
+        while not client_engine.requests[sid].seq.is_finished:
+            client_engine.step()
+        remote = client_engine.requests[sid].seq.output_token_ids
+
+        local = _engine().generate([prompt], sp)[0].output_token_ids
+        assert remote == local, (remote, local)
+        assert gathered, "device gather never ran"
+        for leaf in jax.tree_util.tree_leaves(gathered[0]):
+            assert isinstance(leaf, jax.Array) and not isinstance(leaf, np.ndarray)
+
+    def test_fast_path_vs_tcp_timing(self):
+        """Informational: same-host device handoff vs TCP round trip."""
+        server_engine = _engine()
+        client_a = _engine()
+        client_b = _engine()
+        server = PdServer(server_engine, port=0)
+        server.start()
+        try:
+            prompt = list(range(2, 34))
+            sp = SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True)
+            fast = PdClient(client_a, local_server=server, min_prompt_len=4)
+            tcp = PdClient(client_b, ("127.0.0.1", server.port), min_prompt_len=4)
+            t0 = time.perf_counter()
+            fast.prefill_remote(prompt, sp)
+            t_fast = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            tcp.prefill_remote(prompt, sp)
+            t_tcp = time.perf_counter() - t0
+            print(f"PD handoff: device {t_fast*1e3:.1f} ms vs TCP {t_tcp*1e3:.1f} ms")
+        finally:
+            server.stop()
+
+
 class TestEngineIntegration:
     def test_add_request_offloads_via_pd_client(self):
         server_engine = _engine()

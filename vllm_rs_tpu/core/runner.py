@@ -760,11 +760,20 @@ class ModelRunner:
             + np.arange(bs, dtype=np.int32)[None, :]
         ).reshape(-1)
 
-    def swap_out(self, block_table: List[int]):
-        """Copy the blocks' KV to host memory → host pytree (numpy)."""
+    def gather_blocks_device(self, block_table: List[int]):
+        """Gather the blocks' KV as DEVICE arrays (no host copy) — the
+        same-host PD handoff path (reference CUDA-IPC device-to-device
+        transfer, transfer/cuda_remote.rs + transfer/mod.rs:82-91): the
+        receiving runner's scatter consumes these directly; when pools
+        live on different meshes XLA moves the data over ICI via the
+        implicit device_put at the jit boundary."""
         slots = jnp.asarray(self._slots_of_blocks(block_table))
         with self._kv_lock:
-            data = self._jit_gather_slots(self.kv, slots)
+            return self._jit_gather_slots(self.kv, slots)
+
+    def swap_out(self, block_table: List[int]):
+        """Copy the blocks' KV to host memory → host pytree (numpy)."""
+        data = self.gather_blocks_device(block_table)
         return jax.tree_util.tree_map(np.asarray, data)  # blocks until ready
 
     def swap_in(self, host_data, block_table: List[int]) -> None:

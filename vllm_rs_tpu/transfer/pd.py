@@ -117,13 +117,15 @@ class PdServer:
         self.port = self._srv.getsockname()[1]
         self._running = False
         self._thread: Optional[threading.Thread] = None
+        # handlers drive engine.step() themselves (serialized): the KV must
+        # be gathered while the sequence still owns its blocks, which a
+        # concurrent background loop could race. Created here (not start())
+        # so the same-host fast path can use the server without the TCP
+        # listener running.
+        self._step_lock = threading.Lock()
 
     def start(self) -> None:
         self._running = True
-        # handlers drive engine.step() themselves (serialized): the KV must
-        # be gathered while the sequence still owns its blocks, which a
-        # concurrent background loop could race
-        self._step_lock = threading.Lock()
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
 
@@ -154,23 +156,36 @@ class PdServer:
         finally:
             conn.close()
 
-    def _prefill_and_reply(self, conn, header) -> None:
+    def prefill_to_device(self, token_ids: List[int], sampling: dict):
+        """Prefill one prompt and return (first_token, device KV pytree).
+
+        The KV stays on device — the same-host fast path scatters it
+        straight into the client pool (no host numpy, no socket); the TCP
+        path materializes it afterward."""
         from vllm_rs_tpu.config import SamplingParams
 
-        token_ids: List[int] = header["token_ids"]
-        sp = SamplingParams.from_dict(header.get("sampling", {}))
+        sp = SamplingParams.from_dict(sampling or {})
         # max_tokens=2 keeps the sequence RUNNING (blocks owned) after the
         # first token, so the KV gather sees a live block table
         sp.max_tokens = 2
         sp.ignore_eos = True
         with self._step_lock:
-            seq_id = self.engine.add_request(token_ids, sp)
+            seq_id = self.engine.add_request(list(token_ids), sp)
             seq = self.engine.requests[seq_id].seq
             while not seq.output_token_ids:
                 self.engine.step()
             first_token = seq.output_token_ids[0]
-            host_kv = self.engine.runner.swap_out(list(seq.block_table))
+            kv_dev = self.engine.runner.gather_blocks_device(list(seq.block_table))
             self.engine.abort_request(seq_id)
+        return first_token, kv_dev
+
+    def _prefill_and_reply(self, conn, header) -> None:
+        import jax
+
+        first_token, kv_dev = self.prefill_to_device(
+            header["token_ids"], header.get("sampling", {})
+        )
+        host_kv = jax.tree_util.tree_map(np.asarray, kv_dev)
         spec, payload = _kv_to_wire(host_kv)
         _send_msg(
             conn,
@@ -190,12 +205,27 @@ class PdClient:
     The reference offloads prompts ≥ 128 tokens unless a prefix-cache hit
     leaves < 1024 new tokens (scheduler.rs:52-54); the same thresholds apply
     here via `min_prompt_len`.
+
+    Same-host fast path (reference CUDA-IPC device handles when prefill and
+    decode share a machine, transfer/mod.rs:82-100 + transfer/cuda_remote.rs):
+    pass `local_server=` a PdServer living in this process — KV then moves
+    device-to-device (gather on the server pool → scatter into the client
+    pool, crossing meshes over ICI via device_put) with no host numpy
+    materialization and no socket. TCP stays the cross-host fallback.
     """
 
-    def __init__(self, engine, addr: Tuple[str, int], min_prompt_len: int = 128):
+    def __init__(
+        self,
+        engine,
+        addr: Optional[Tuple[str, int]] = None,
+        min_prompt_len: int = 128,
+        local_server: Optional["PdServer"] = None,
+    ):
+        assert addr is not None or local_server is not None
         self.engine = engine
         self.addr = addr
         self.min_prompt_len = min_prompt_len
+        self.local_server = local_server
         self._sock: Optional[socket.socket] = None
         self._lock = threading.Lock()
 
@@ -225,8 +255,12 @@ class PdClient:
     def prefill_remote(self, token_ids: List[int], sampling_params) -> int:
         """Round-trip one prompt through the prefill server; returns the
         client-side seq_id of a sequence admitted directly into decode."""
-        from vllm_rs_tpu.core.sequence import Sequence, SequenceStatus
-
+        if self.local_server is not None:
+            # same-host fast path: device-to-device, no host staging
+            first_token, kv_data = self.local_server.prefill_to_device(
+                list(token_ids), {"temperature": 0.0}
+            )
+            return self._install(token_ids, sampling_params, first_token, kv_data)
         with self._lock:
             try:
                 sock = self._connect()
@@ -248,16 +282,25 @@ class PdClient:
 
         treedef = jax.tree_util.tree_structure(self.engine.runner.kv)
         host_kv = jax.tree_util.tree_unflatten(treedef, leaves)
+        return self._install(
+            token_ids, sampling_params, int(header["first_token"]), host_kv
+        )
+
+    def _install(self, token_ids, sampling_params, first_token: int, kv_data) -> int:
+        """Allocate client blocks, scatter the prefilled KV (device arrays
+        on the fast path, host numpy from TCP), and admit the sequence
+        directly into decode with its first token appended."""
+        from vllm_rs_tpu.core.sequence import Sequence, SequenceStatus
 
         engine = self.engine
         seq = Sequence(list(token_ids), sampling_params)
         with engine._lock:
             if not engine.block_manager.allocate_prompt(seq):
                 raise RuntimeError("client KV pool exhausted for PD install")
-            engine.runner.swap_in(host_kv, seq.block_table)
+            engine.runner.swap_in(kv_data, seq.block_table)
             seq.num_cached_tokens = len(token_ids)
             seq.status = SequenceStatus.RUNNING
-            seq.append_token(int(header["first_token"]))
+            seq.append_token(first_token)
             from vllm_rs_tpu.core.engine import _RequestState
             from vllm_rs_tpu.utils.detok import IncrementalDetokenizer
 
