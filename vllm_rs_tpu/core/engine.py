@@ -448,9 +448,15 @@ class LLMEngine:
             )
         if automaton is None:
             return None
-        return GuidanceState(
+        g = GuidanceState(
             automaton, self._token_trie, self.econfig.model.eos_token_ids
         )
+        # admission pre-warm: the initial state's vocab-trie walk runs on
+        # the prefetch pool NOW, overlapping the prefill — instead of
+        # stalling the first decode step's prepare_sampling (VERDICT r2
+        # item 8; SURVEY hard-part #5)
+        g.prefetch()
+        return g
 
     def _reset_seq_slot(self, seq) -> int:
         slot = getattr(seq, "mamba_slot", None)
@@ -588,6 +594,11 @@ class LLMEngine:
             g = getattr(seq, "guidance", None)
             if g is not None:  # commit into the grammar (runner.rs:336-372)
                 g.advance(tok, self.tokenizer.decode([tok]))
+                # warm the NEW state's mask off-thread: the walk overlaps
+                # the next device step instead of running inside its
+                # prepare_sampling (first-visit states walk the full
+                # vocab trie — tests/test_guidance_latency.py)
+                g.prefetch()
             if st.mh_suppressed:
                 # leader already hit this seq's stop string; the finish is
                 # queued for the next step boundary — drop extra deltas

