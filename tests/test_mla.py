@@ -72,6 +72,101 @@ class TestMlaOp:
         np.testing.assert_allclose(np.asarray(got), expect, atol=2e-4, rtol=1e-3)
 
 
+class TestMlaDecodeKernel:
+    def test_pallas_kernel_matches_gather_path(self):
+        """Dedicated MLA paged-decode kernel (ops/pallas/mla_decode.py,
+        reference mla_paged_decode, mla_attention.rs:335-460) vs the XLA
+        gather path, interpret mode: varied context lens, multi-layer
+        pooled offsets, non-lane-aligned F = R + dr."""
+        from vllm_rs_tpu.ops.mla import mla_paged_attention_deferred
+        from vllm_rs_tpu.ops.pallas.mla_decode import mla_paged_decode_pallas
+
+        B, H, dn, dr, dv, R = 4, 16, 32, 16, 32, 64
+        L, block_size, MB = 3, 4, 4
+        S = B * MB * block_size
+        F = R + dr  # 80: exercises the padded 0.625-tile contraction
+        rs = np.random.RandomState(1)
+        pool = jnp.asarray(rs.randn(L, S, F) * 0.3, dtype=jnp.bfloat16)
+        q_nope = jnp.asarray(rs.randn(B, 1, H, dn) * 0.3, dtype=jnp.bfloat16)
+        q_pe = jnp.asarray(rs.randn(B, 1, H, dr) * 0.3, dtype=jnp.bfloat16)
+        ckv_new = jnp.asarray(rs.randn(B, 1, R) * 0.3, dtype=jnp.bfloat16)
+        kpe_new = jnp.asarray(rs.randn(B, 1, dr) * 0.3, dtype=jnp.bfloat16)
+        w_uk = jnp.asarray(rs.randn(H, dn, R) * 0.1, dtype=jnp.bfloat16)
+        w_uv = jnp.asarray(rs.randn(H, R, dv) * 0.1, dtype=jnp.bfloat16)
+        ctx = np.array([1, 5, 9, 16], dtype=np.int32)  # INCLUDING current
+        bt = np.stack([np.arange(b * MB, (b + 1) * MB) for b in range(B)]).astype(
+            np.int32
+        )
+        meta = AttnMeta(
+            positions=jnp.asarray(ctx - 1, dtype=jnp.int32)[:, None],
+            slot_mapping=jnp.zeros((B, 1), jnp.int32),
+            block_tables=jnp.asarray(bt),
+            context_lens=jnp.asarray(ctx),
+            last_token_idx=jnp.zeros((B,), jnp.int32),
+        )
+        scale = (dn + dr) ** -0.5
+        for layer in range(L):
+            li = jnp.asarray(layer, jnp.int32)
+            want = mla_paged_attention_deferred(
+                q_nope, q_pe, ckv_new, kpe_new, pool, li, w_uk, w_uv, meta,
+                block_size=block_size, scale=scale, kv_lora_rank=R,
+                backend="gather",
+            )
+            got = mla_paged_decode_pallas(
+                q_nope, q_pe, ckv_new, kpe_new, pool, li, w_uk, w_uv, meta,
+                block_size=block_size, scale=scale, kv_lora_rank=R,
+                interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got, dtype=np.float32),
+                np.asarray(want, dtype=np.float32),
+                atol=3e-2, rtol=3e-2,
+            )
+
+    def test_pallas_kernel_single_page_and_full_table(self):
+        """Edge shapes: MB == 1 (single page, P clamps) and every context
+        exactly filling its table."""
+        from vllm_rs_tpu.ops.mla import mla_paged_attention_deferred
+        from vllm_rs_tpu.ops.pallas.mla_decode import mla_paged_decode_pallas
+
+        B, H, dn, dr, dv, R = 2, 8, 16, 8, 16, 32
+        L, block_size, MB = 2, 8, 1
+        S = B * MB * block_size
+        rs = np.random.RandomState(2)
+        pool = jnp.asarray(rs.randn(L, S, R + dr) * 0.3, dtype=jnp.bfloat16)
+        q_nope = jnp.asarray(rs.randn(B, 1, H, dn) * 0.3, dtype=jnp.bfloat16)
+        q_pe = jnp.asarray(rs.randn(B, 1, H, dr) * 0.3, dtype=jnp.bfloat16)
+        ckv_new = jnp.asarray(rs.randn(B, 1, R) * 0.3, dtype=jnp.bfloat16)
+        kpe_new = jnp.asarray(rs.randn(B, 1, dr) * 0.3, dtype=jnp.bfloat16)
+        w_uk = jnp.asarray(rs.randn(H, dn, R) * 0.1, dtype=jnp.bfloat16)
+        w_uv = jnp.asarray(rs.randn(H, R, dv) * 0.1, dtype=jnp.bfloat16)
+        ctx = np.array([8, 3], dtype=np.int32)
+        bt = np.array([[0], [1]], dtype=np.int32)
+        meta = AttnMeta(
+            positions=jnp.asarray(ctx - 1, dtype=jnp.int32)[:, None],
+            slot_mapping=jnp.zeros((B, 1), jnp.int32),
+            block_tables=jnp.asarray(bt),
+            context_lens=jnp.asarray(ctx),
+            last_token_idx=jnp.zeros((B,), jnp.int32),
+        )
+        scale = (dn + dr) ** -0.5
+        li = jnp.asarray(1, jnp.int32)
+        want = mla_paged_attention_deferred(
+            q_nope, q_pe, ckv_new, kpe_new, pool, li, w_uk, w_uv, meta,
+            block_size=block_size, scale=scale, kv_lora_rank=R,
+            backend="gather",
+        )
+        got = mla_paged_decode_pallas(
+            q_nope, q_pe, ckv_new, kpe_new, pool, li, w_uk, w_uv, meta,
+            block_size=block_size, scale=scale, kv_lora_rank=R, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, dtype=np.float32),
+            np.asarray(want, dtype=np.float32),
+            atol=3e-2, rtol=3e-2,
+        )
+
+
 def _mla_engine(q_lora=0):
     from vllm_rs_tpu.core.engine import LLMEngine
     from vllm_rs_tpu.core.runner import ModelRunner

@@ -141,6 +141,32 @@ def paged_attention_deferred(
             paged_attention_decode_pallas,
         )
 
+        # large-batch regime: the multi-row kernel amortizes the fixed
+        # per-grid-iteration charge that dominates at B ≳ 64 with short
+        # contexts (attn_lab3; ops/pallas/paged_attention_multirow.py).
+        # Global attention only; VLLM_RS_TPU_ATTN_ROWS overrides (0 = off).
+        import os
+
+        rows_env = int(os.environ.get("VLLM_RS_TPU_ATTN_ROWS", "-1"))
+        use_multirow = (
+            (rows_env > 1 or (rows_env < 0 and q.shape[0] >= 64))
+            and not chunked
+            and isinstance(sliding_window, int)
+            and sliding_window == 0
+        )
+        if use_multirow:
+            from vllm_rs_tpu.ops.pallas.paged_attention_multirow import (
+                paged_attention_decode_multirow,
+            )
+
+            return paged_attention_decode_multirow(
+                q, kv_l if layer_idx is not None else kv_l[0],
+                kv_l if layer_idx is not None else kv_l[1], meta,
+                block_size=block_size, scale=scale,
+                logit_softcap=logit_softcap,
+                rows_per_step=rows_env if rows_env > 1 else 4,
+                k_self=k_new, v_self=v_new, layer_idx=layer_idx,
+            )
         if layer_idx is not None:
             return paged_attention_decode_pallas(
                 q, kv_l, kv_l, meta,

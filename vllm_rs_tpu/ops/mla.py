@@ -48,6 +48,13 @@ def write_mla_cache(
     )
 
 
+# Batch size at/above which decode uses the dedicated Pallas kernel on
+# TPU. The XLA page gather is fine at small batch (measured 20.7× scaling
+# B=1→32, PERF_NOTES) but collapses at B ≳ 128; the kernel's crossover is
+# measured by mla_lab.py and recorded in PERF_NOTES round 3.
+MLA_KERNEL_MIN_BATCH = 32
+
+
 def mla_paged_attention_deferred(
     q_nope: jax.Array,  # [B, 1, H, dn]
     q_pe: jax.Array,  # [B, 1, H, dr] (rope applied)
@@ -62,13 +69,40 @@ def mla_paged_attention_deferred(
     block_size: int,
     scale: float,
     kv_lora_rank: int,
+    backend: str = "auto",
 ) -> jax.Array:
     """Deferred-write absorbed MLA decode: pages cover [0, pos); the
     current token's latent folds in as one extra attention column, and the
     caller scatters all layers' latents once after the layer scan (the MLA
     analog of ops/attention.paged_attention_deferred — avoids both the
-    per-layer pool slice copy and the scan-ys pool rewrite)."""
+    per-layer pool slice copy and the scan-ys pool rewrite).
+
+    backend: "auto" picks the dedicated Pallas kernel
+    (ops/pallas/mla_decode.py — the reference's mla_paged_decode analog,
+    mla_attention.rs:335-460) on TPU at B ≥ MLA_KERNEL_MIN_BATCH, where
+    the XLA page gather below degrades; "gather"/"pallas" force a path."""
     B, T, H, dn = q_nope.shape
+    if backend == "auto":
+        import os
+
+        env = os.environ.get("VLLM_RS_TPU_MLA_BACKEND", "")
+        if env:
+            backend = env  # measurement override (mla_lab.py)
+    if backend == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and B >= MLA_KERNEL_MIN_BATCH
+            and H % 8 == 0
+        )
+    else:
+        use_pallas = backend == "pallas"
+    if use_pallas:
+        from vllm_rs_tpu.ops.pallas.mla_decode import mla_paged_decode_pallas
+
+        return mla_paged_decode_pallas(
+            q_nope, q_pe, ckv_new, kpe_new, pool, layer_idx, w_uk, w_uv, meta,
+            block_size=block_size, scale=scale, kv_lora_rank=kv_lora_rank,
+        )
     R = kv_lora_rank
     L, S, F = pool.shape
     num_blocks = S // block_size
