@@ -71,7 +71,9 @@ def main():
     if rank == 0:
         feed = StepFeed(port=feed_port)
         engine.enable_multihost_leader(feed)
-        feed.wait_followers(1, timeout=30)
+        # generous: under the full suite the follower's jax import + tiny
+        # model compile can take minutes on a loaded CPU host
+        feed.wait_followers(1, timeout=300)
         engine.start_loop()
         threading.Thread(target=exit_on_failure, daemon=False).start()
         sid = engine.add_request(
