@@ -213,6 +213,17 @@ def _mla_engine(q_lora=0):
 
 
 class TestDeepseekModel:
+    def test_generate_matches_across_decode_backends(self, monkeypatch):
+        """End-to-end: forcing the Pallas MLA decode kernel (interpret on
+        CPU) must produce the same greedy tokens as the gather path."""
+        prompts = [[5, 6, 7, 8, 9, 10, 11], [3, 4, 5]]
+        sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+        monkeypatch.setenv("VLLM_RS_TPU_MLA_BACKEND", "gather")
+        ref = [o.output_token_ids for o in _mla_engine().generate(prompts, sp)]
+        monkeypatch.setenv("VLLM_RS_TPU_MLA_BACKEND", "pallas")
+        got = [o.output_token_ids for o in _mla_engine().generate(prompts, sp)]
+        assert got == ref
+
     def test_generate_end_to_end(self):
         engine = _mla_engine()
         outs = engine.generate(

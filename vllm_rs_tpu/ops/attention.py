@@ -142,14 +142,18 @@ def paged_attention_deferred(
         )
 
         # large-batch regime: the multi-row kernel amortizes the fixed
-        # per-grid-iteration charge that dominates at B ≳ 64 with short
-        # contexts (attn_lab3; ops/pallas/paged_attention_multirow.py).
-        # Global attention only; VLLM_RS_TPU_ATTN_ROWS overrides (0 = off).
+        # per-grid-iteration charge that dominated at B ≳ 64 with short
+        # contexts in the round-2 environment (attn_lab3;
+        # ops/pallas/paged_attention_multirow.py). OPT-IN via
+        # VLLM_RS_TPU_ATTN_ROWS=RB: in the round-3 (bandwidth-degraded)
+        # environment the same-day A/B gave RB=8 +1.5% / RB=4 −2% at the
+        # 0.6b B=256 bench — inside noise, so auto keeps the single-row
+        # kernel until a same-day A/B shows a win (PERF_NOTES r3).
         import os
 
-        rows_env = int(os.environ.get("VLLM_RS_TPU_ATTN_ROWS", "-1"))
+        rows_env = int(os.environ.get("VLLM_RS_TPU_ATTN_ROWS", "0"))
         use_multirow = (
-            (rows_env > 1 or (rows_env < 0 and q.shape[0] >= 64))
+            rows_env > 1
             and not chunked
             and isinstance(sliding_window, int)
             and sliding_window == 0
