@@ -48,7 +48,8 @@ def _mla_decode_kernel(
     cl_ref,  # [B] int32 context lens (EXCLUDING the current token)
     # tensors
     q_ref,  # [1, H, F] bf16 — [q_nope @ w_uk | q_pe]
-    self_ref,  # [1, F] current token's latent row
+    self_ref,  # [1, 1, F] current token's latent row (3-D so the block's
+    # last two dims (1, F) equal the array dims — Mosaic block rule)
     *refs,  # P latent pages, out, m, l, acc
     pages_per_step: int,
     block_size: int,
@@ -111,7 +112,7 @@ def _mla_decode_kernel(
         # fold the current token's own latent as one extra column (its row
         # is scattered into the pool after the layer scan)
         q = q_ref[0].astype(jnp.float32)  # [H, F]
-        row = self_ref[0].astype(jnp.float32)  # [F]
+        row = self_ref[0, 0].astype(jnp.float32)  # [F]
         s_self = jnp.sum(q * row[None, :], axis=1, keepdims=True) * scale  # [H, 1]
         m_prev = m_ref[...]
         l_prev = l_ref[...]
@@ -131,7 +132,7 @@ def _mla_decode_kernel(
 def _mla_decode_call(
     q_cat,  # [B, H, F]
     pool_flat,  # [L*S, F] latent pool (flattened; walk carries the offset)
-    self_rows,  # [B, F]
+    self_rows,  # [B, 1, F]
     walk,  # [B, MB] pre-clamped page ids (+ layer offset)
     context_lens,  # [B] EXCLUDING the current token
     *,
@@ -157,7 +158,7 @@ def _mla_decode_call(
         grid=(B, num_steps),
         in_specs=[
             pl.BlockSpec((1, H, F), lambda b, j, w, c: (b, 0, 0)),
-            pl.BlockSpec((1, F), lambda b, j, w, c: (b, 0)),
+            pl.BlockSpec((1, 1, F), lambda b, j, w, c: (b, 0, 0)),
             *page_specs,
         ],
         out_specs=pl.BlockSpec((1, H, F), lambda b, j, w, c: (b, 0, 0)),
@@ -223,7 +224,7 @@ def mla_paged_decode_pallas(
     ).astype(jnp.bfloat16)  # [B, H, F]
     self_rows = jnp.concatenate([ckv_new[:, 0], kpe_new[:, 0]], axis=-1).astype(
         pool.dtype
-    )  # [B, F]
+    )[:, None]  # [B, 1, F]
 
     # pre-clamped page walk + layer offset (see paged_attention.py: clamp
     # math inside index maps runs per (grid step × ref) on the sparse core)

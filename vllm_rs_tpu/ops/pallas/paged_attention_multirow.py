@@ -82,15 +82,16 @@ def _mr_decode_kernel(
     G = q_ref.shape[2]
     C = P * block_size
     base = j * C
-    # per-row context lens as an [RB*G, 1] f32-compatible column (static
-    # python loop over RB — scalars from SMEM)
+    # per-score-row context lens [Hk*RB*G, 1] (static python loop —
+    # scalars from SMEM; score rows are h-major then r then g)
     ctx_rows = jnp.concatenate(
         [
             jnp.full((G, 1), cl_ref[b * RB + r], jnp.int32)
+            for _h in range(num_kv_heads)
             for r in range(RB)
         ],
         axis=0,
-    )  # [RB*G, 1]
+    )
     max_ctx = cl_ref[b * RB]
     for r in range(1, RB):
         max_ctx = jnp.maximum(max_ctx, cl_ref[b * RB + r])
@@ -104,14 +105,17 @@ def _mr_decode_kernel(
         vc = jnp.concatenate(
             [v_refs[t][...] for t in range(RB * P)], axis=0
         )
-        # block-diagonal masked scores, ONE dot per kv head
-        # kpos/krow over the RB*C column axis
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, RB * C), 1)
+        # block-diagonal masked scores, ONE dot per kv head. The mask is
+        # built at FULL [Hk*RB*G, RB*C] size from iotas — jnp.tile of an
+        # i1 (bool) array hits an unsupported tpu.bitcast_vreg when the
+        # tiled sublane count is < 8 (Mosaic failure at RB=2)
+        n_rows = Hk * RB * G
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_rows, RB * C), 1)
         kpos = base + col % C
         krow = col // C  # which sequence the column belongs to
         qrow = (
-            jax.lax.broadcasted_iota(jnp.int32, (RB * G, 1), 0) // G
-        )  # [RB*G, 1]
+            jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) % (RB * G)
+        ) // G
         mask = (krow == qrow) & (kpos < ctx_rows)
         score_rows = []
         for h in range(Hk):
@@ -127,7 +131,7 @@ def _mr_decode_kernel(
         scores = jnp.concatenate(score_rows, axis=0) * scale  # [Hk*RB*G, RB*C]
         if logit_softcap > 0.0:
             scores = jnp.tanh(scores / logit_softcap) * logit_softcap
-        scores = jnp.where(jnp.tile(mask, (Hk, 1)), scores, _NEG_INF)
+        scores = jnp.where(mask, scores, _NEG_INF)
 
         m_prev = m_ref[...]  # [Hk*RB*G, 128]
         l_prev = l_ref[...]
