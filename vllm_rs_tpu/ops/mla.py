@@ -48,11 +48,15 @@ def write_mla_cache(
     )
 
 
-# Batch size at/above which decode uses the dedicated Pallas kernel on
-# TPU. The XLA page gather is fine at small batch (measured 20.7× scaling
-# B=1→32, PERF_NOTES) but collapses at B ≳ 128; the kernel's crossover is
-# measured by mla_lab.py and recorded in PERF_NOTES round 3.
-MLA_KERNEL_MIN_BATCH = 32
+# Batch size at/above which "auto" decode uses the dedicated Pallas
+# kernel on TPU. Round-3 same-day crossover (mla_lab.py, 12-layer
+# DeepSeek-geometry, int4, ctx 192 — PERF_NOTES r3): gather 824 (B=32) /
+# 5,009 (B=128) / 4,804 (B=256) tok/s vs kernel 4,944 (B=128) / 3,721
+# (B=256) — in the round-3 bandwidth-degraded environment the gather is
+# never worse, so auto keeps it and the kernel is opt-in
+# (VLLM_RS_TPU_MLA_BACKEND=pallas) until a same-day A/B shows the
+# round-2-style gather collapse again.
+MLA_KERNEL_MIN_BATCH = 10**9
 
 
 def mla_paged_attention_deferred(
