@@ -279,7 +279,8 @@ def _bench_offline_batch(engine, size, *, batch, prompt_tokens, decode_tokens, r
     }
 
 
-def _bench_spec(engine, size, *, spec_k, mode, prompt_tokens, decode_tokens, rs):
+def _bench_spec(engine, size, *, spec_k, mode, prompt_tokens, decode_tokens, rs,
+                seed_tokens=0):
     """Prompt-lookup speculative decode: greedy, bit-identical to plain
     decoding; each verify step costs one MXU pass regardless of accepted
     length, so effective tok/s = acceptance_mean / step_time.
@@ -303,7 +304,7 @@ def _bench_spec(engine, size, *, spec_k, mode, prompt_tokens, decode_tokens, rs)
     base = corpus_tokens(vocab, prompt_tokens)
     prompt = base
     if mode == "grounded":
-        seed_len = max(4 * spec_k, 128)
+        seed_len = seed_tokens or max(4 * spec_k, 128)
         sid = engine.add_request(
             base,
             SamplingParams(temperature=0.0, max_tokens=seed_len, ignore_eos=True),
@@ -316,7 +317,8 @@ def _bench_spec(engine, size, *, spec_k, mode, prompt_tokens, decode_tokens, rs)
     n_out, decode_time, ttft, steps = run_once(decode_tokens, prompt=prompt)
     eff_tps = (n_out - 1) / decode_time if decode_time > 0 else 0.0
     return {
-        "metric": f"spec_decode_effective_tokens_per_sec_{size}_int4",
+        "metric": f"spec_decode_effective_tokens_per_sec_{size}"
+        + ("_int4" if engine.econfig.quant else "_bf16"),
         "value": round(eff_tps, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(eff_tps / 120.74, 4),
@@ -390,6 +392,8 @@ def main():
     ap.add_argument("--spec", type=int, default=0)
     ap.add_argument("--spec-mode", choices=["grounded", "corpus"],
                     default="grounded")
+    # grounded-mode seed continuation length (0 = max(4k, 128))
+    ap.add_argument("--spec-seed", type=int, default=0)
     # override tokens-per-host-sync (amortizes the dev tunnel RTT)
     ap.add_argument("--multi-step", type=int, default=0)
     args = ap.parse_args()
@@ -430,7 +434,8 @@ def main():
         print(json.dumps(_bench_spec(
             engine, args.size, spec_k=args.spec, mode=args.spec_mode,
             prompt_tokens=args.prompt_tokens,
-            decode_tokens=args.decode_tokens, rs=rs)))
+            decode_tokens=args.decode_tokens, rs=rs,
+            seed_tokens=args.spec_seed)))
         return
 
     print(json.dumps(_bench_batch1(
