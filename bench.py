@@ -352,7 +352,21 @@ def _headline(args):
     print(json.dumps(serve_bench(
         engine, streams=64, prompt_tokens=128, decode_tokens=256,
         multi_step=16)), flush=True)
-    print("# headline 3/4: grounded-copy speculative decode", file=sys.stderr)
+    # free the 8B engine (weights + KV pool) before building the 0.6b one
+    del engine
+    gc.collect()
+    print("# headline 3/4: 0.6b bf16 batch-256", file=sys.stderr)
+    engine = build("0.6b")
+    print(json.dumps(_bench_offline_batch(
+        engine, "0.6b", batch=256, prompt_tokens=128, decode_tokens=128,
+        rs=rs)), flush=True)
+    # grounded-copy speculative decode on the same 0.6b engine: the 0.6b
+    # is the size whose random-weight greedy trajectory reaches the
+    # self-repetition regime within bench-runnable lengths (measured
+    # acceptance 1.97; the 3b/8b stay at 1.0 within 256+128 tokens —
+    # PERF_NOTES r3), so it is where grounded-copy acceptance is honestly
+    # demonstrable without real checkpoints
+    print("# headline 4/4: grounded-copy speculative decode (0.6b)", file=sys.stderr)
     import dataclasses as _dc
 
     engine.econfig = _dc.replace(
@@ -364,16 +378,8 @@ def _headline(args):
     )
     engine.scheduler.config = engine.econfig.scheduler
     print(json.dumps(_bench_spec(
-        engine, "8b", spec_k=8, mode="grounded", prompt_tokens=128,
+        engine, "0.6b", spec_k=8, mode="grounded", prompt_tokens=128,
         decode_tokens=128, rs=rs)), flush=True)
-    # free the 8B engine (weights + KV pool) before building the 0.6b one
-    del engine
-    gc.collect()
-    print("# headline 4/4: 0.6b bf16 batch-256", file=sys.stderr)
-    engine = build("0.6b")
-    print(json.dumps(_bench_offline_batch(
-        engine, "0.6b", batch=256, prompt_tokens=128, decode_tokens=128,
-        rs=rs)), flush=True)
 
 
 def main():
