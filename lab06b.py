@@ -1,0 +1,93 @@
+"""0.6b batch-256 component bisect using ONLY bench-proven shapes.
+
+The round-2 tools (step_bisect.py, attn_lab3.py) die on the round-3
+environment's shape-dependent runtime faults (PERF_NOTES r3 finding #4),
+so this bisect drives the REAL engine exactly like `bench.py --size 0.6b
+--batch 256` (which runs), with one component monkeypatched out per
+variant, each in its own engine (fresh jit trace):
+
+  full        — production
+  no_scatter  — deferred-KV scatter replaced by identity
+  no_attn     — decode attention block returns the o-projection of q
+                (projections + rope kept; WRONG numerics, timing only)
+
+The deltas are the components' true in-situ shares today.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def run_bench(tag, patch=None):
+    import bench
+    from vllm_rs_tpu.config import SamplingParams
+
+    undo = patch() if patch else None
+    try:
+        engine = bench.build("0.6b")
+        import dataclasses as _dc
+
+        engine.econfig = _dc.replace(
+            engine.econfig,
+            scheduler=_dc.replace(
+                engine.econfig.scheduler, max_consecutive_prefills=10_000
+            ),
+        )
+        engine.scheduler.config = engine.econfig.scheduler
+        vocab = engine.econfig.model.vocab_size
+        rs = np.random.RandomState(0)
+        sp = SamplingParams(temperature=0.0, max_tokens=128, ignore_eos=True)
+
+        def once():
+            prompts = [
+                list(rs.randint(1, vocab - 1, size=128)) for _ in range(256)
+            ]
+            t0 = time.time()
+            outs = engine.generate(prompts, sp)
+            wall = time.time() - t0
+            return sum(len(o.output_token_ids) for o in outs), wall
+
+        once()  # warmup
+        toks, wall = once()
+        print(json.dumps({"variant": tag, "tok_s": round(toks / wall, 1),
+                          "wall_s": round(wall, 2)}), flush=True)
+        del engine
+        import gc
+
+        gc.collect()
+    finally:
+        if undo:
+            undo()
+
+
+def patch_no_scatter():
+    import vllm_rs_tpu.ops.attention as am
+
+    orig = am.scatter_deferred_kv
+    am.scatter_deferred_kv = lambda kv, k, v, s, backend="auto": kv
+    return lambda: setattr(am, "scatter_deferred_kv", orig)
+
+
+def patch_no_attn():
+    import vllm_rs_tpu.models.layers as layers_mod
+
+    orig = layers_mod.attention_block_deferred
+
+    def no_attn(lp, h, meta, kv_l, config, **kw):
+        from vllm_rs_tpu.models.layers import linear, qkv_rope
+
+        B, T, _ = h.shape
+        q, k, v = qkv_rope(lp, h, meta, config)
+        o = linear(lp["o"], q.reshape(B, T, -1))
+        return o, k, v
+
+    layers_mod.attention_block_deferred = no_attn
+    return lambda: setattr(layers_mod, "attention_block_deferred", orig)
+
+
+if __name__ == "__main__":
+    run_bench("full")
+    run_bench("no_scatter", patch_no_scatter)
+    run_bench("no_attn", patch_no_attn)

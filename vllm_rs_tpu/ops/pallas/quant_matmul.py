@@ -631,6 +631,37 @@ def quant_matmul_pallas(
     """y = x @ dequant(qt). x: [..., K] bf16 → [..., N] bf16."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # measurement hook (PERF_NOTES r3): VLLM_RS_TPU_SPLIT_N=k splits the
+    # call into k column-chunk pallas_calls — quantifies per-launch
+    # pipeline fill/drain overhead at the bench level (if launches cost
+    # ~17 us, SPLIT_N=4 adds ~100 launches/step → a visible tok/s drop)
+    import os
+
+    split = int(os.environ.get("VLLM_RS_TPU_SPLIT_N", "1"))
+    if split > 1:
+        N = qt.shape[1]
+        if N % (split * 128) == 0:
+            cols = N // split
+            parts = [
+                _quant_matmul_impl(
+                    x,
+                    type(qt)(
+                        qt.qweight[:, i * cols : (i + 1) * cols],
+                        qt.scales[:, i * cols : (i + 1) * cols],
+                        None if qt.zeros is None
+                        else qt.zeros[:, i * cols : (i + 1) * cols],
+                    ),
+                    interpret,
+                )
+                for i in range(split)
+            ]
+            return jnp.concatenate(parts, axis=-1)
+    return _quant_matmul_impl(x, qt, interpret)
+
+
+def _quant_matmul_impl(
+    x: jax.Array, qt: AnyQuantTensor, interpret: bool
+) -> jax.Array:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K).astype(jnp.bfloat16)
