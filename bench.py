@@ -138,8 +138,14 @@ def build(size: str, spec_k: int = 0):
         # ctx 320 resident incl. the <=63-slot/seq rounding (bf16 pool
         # 11.3 GB)
         cache = CacheConfig(block_size=64, num_blocks=1536)
+        import os as _os
+
         sched = SchedulerConfig(
-            max_num_seqs=256, chunk_size=2048, max_model_len=1024,
+            max_num_seqs=256,
+            # chunk experiments (VLLM_RS_TPU_CHUNK): every prefill step is
+            # one host↔device sync; bigger chunks = fewer tunnel RTTs
+            chunk_size=int(_os.environ.get("VLLM_RS_TPU_CHUNK", "2048")),
+            max_model_len=1024,
             # k=32: the dev tunnel's ~70ms RTT amortizes to 2.2 ms/step;
             # on directly-attached hosts this only reduces host glue
             multi_step_decode=32,

@@ -70,6 +70,38 @@ def patch_no_scatter():
     return lambda: setattr(am, "scatter_deferred_kv", orig)
 
 
+def patch_no_head():
+    from vllm_rs_tpu.models.llama import CausalLM
+    import jax.numpy as jnp
+
+    orig = CausalLM.compute_logits
+
+    def no_head(self, params, hidden, meta):
+        from vllm_rs_tpu.models.layers import gather_last_hidden
+
+        last = gather_last_hidden(hidden, meta)  # [B, D]
+        V = self.config.vocab_size
+        reps = -(-V // last.shape[-1])
+        return jnp.tile(last.astype(jnp.float32), (1, reps))[:, :V]
+
+    CausalLM.compute_logits = no_head
+    return lambda: setattr(CausalLM, "compute_logits", orig)
+
+
+def patch_no_sampling():
+    # runner binds `sample` at import time: patch the runner module's name
+    import vllm_rs_tpu.core.runner as rm
+    import jax.numpy as jnp
+
+    orig = rm.sample
+
+    def fake_sample(logits, st, key, **kw):
+        return jnp.argmax(logits[:, :8], axis=-1).astype(jnp.int32)
+
+    rm.sample = fake_sample
+    return lambda: setattr(rm, "sample", orig)
+
+
 def patch_no_attn():
     import vllm_rs_tpu.models.layers as layers_mod
 
@@ -87,7 +119,27 @@ def patch_no_attn():
     return lambda: setattr(layers_mod, "attention_block_deferred", orig)
 
 
+def patch_all_aux():
+    undos = [patch_no_scatter(), patch_no_attn(), patch_no_head(), patch_no_sampling()]
+
+    def undo():
+        for u in undos:
+            u()
+
+    return undo
+
+
 if __name__ == "__main__":
-    run_bench("full")
-    run_bench("no_scatter", patch_no_scatter)
-    run_bench("no_attn", patch_no_attn)
+    import sys
+
+    which = sys.argv[1:] or ["full", "no_scatter", "no_attn"]
+    variants = {
+        "full": None,
+        "no_scatter": patch_no_scatter,
+        "no_attn": patch_no_attn,
+        "no_head": patch_no_head,
+        "no_sampling": patch_no_sampling,
+        "trunk_only": patch_all_aux,
+    }
+    for w in which:
+        run_bench(w, variants[w])

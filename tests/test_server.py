@@ -31,6 +31,9 @@ def make_test_tokenizer(vocab_size: int):
     return tok
 
 
+_drain_handles: dict = {}
+
+
 @pytest.fixture(scope="module")
 def server():
     model_cfg = ModelConfig(
@@ -93,6 +96,7 @@ def server():
                 break
         except Exception:
             time.sleep(0.1)
+    _drain_handles["engine"] = engine
     yield base
     loop.call_soon_threadsafe(loop.stop)
     engine.stop_loop()
@@ -232,3 +236,54 @@ class TestUI:
         r = requests.get(server + "/")
         assert r.ok and "text/html" in r.headers["Content-Type"]
         assert "chat/completions" in r.text
+
+
+class TestObservabilityAndDrain:
+    def test_metrics_prometheus_format(self, server):
+        # generate at least one request so step timings exist
+        requests.post(
+            server + "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "t5 t6"}],
+                "max_tokens": 4,
+            },
+        )
+        r = requests.get(server + "/metrics")
+        assert r.ok and "text/plain" in r.headers["Content-Type"]
+        body = r.text
+        assert "# TYPE vllm_rs_tpu_output_tokens_total counter" in body
+        assert "vllm_rs_tpu_kv_usage_ratio" in body
+        assert "vllm_rs_tpu_active_requests" in body
+
+    def test_drain_returns_503_and_engine_refuses(self, server):
+        """Graceful shutdown: after begin_drain, admissions get HTTP 503
+        (the SIGTERM on_shutdown hook calls begin_drain then waits for
+        in-flight requests — reference: engine-loop teardown)."""
+        import vllm_rs_tpu.core.engine as em
+
+        # reach the engine through the app state: issue a request first
+        # to confirm healthy, then flip draining and expect 503
+        ok = requests.post(
+            server + "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "t5"}],
+                "max_tokens": 2,
+            },
+        )
+        assert ok.ok
+        engine = _drain_handles["engine"]
+        engine.begin_drain()
+        try:
+            r = requests.post(
+                server + "/v1/chat/completions",
+                json={
+                    "messages": [{"role": "user", "content": "t5"}],
+                    "max_tokens": 2,
+                },
+            )
+            assert r.status_code == 503, r.text
+            assert "draining" in r.json()["error"]["message"]
+            with pytest.raises(em.EngineDrainingError):
+                engine.add_request([1, 2, 3])
+        finally:
+            engine.draining = False

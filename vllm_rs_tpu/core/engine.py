@@ -30,6 +30,11 @@ from vllm_rs_tpu.utils.detok import IncrementalDetokenizer
 logger = logging.getLogger(__name__)
 
 
+class EngineDrainingError(RuntimeError):
+    """Raised by add_request during graceful shutdown (server drain) —
+    handlers map it to HTTP 503."""
+
+
 @dataclass
 class StreamItem:
     """One streaming event (reference StreamItem, engine.rs:63-70)."""
@@ -171,6 +176,12 @@ class LLMEngine:
         # optional schedule trace for lockstep tests: list of
         # (step_index, kind, seq_ids, chunk_sizes, n_steps)
         self.schedule_trace: Optional[list] = None
+        # graceful drain (server SIGTERM): refuse admissions, finish
+        # in-flight work, then the server stops the loop
+        self.draining = False
+
+    def begin_drain(self) -> None:
+        self.draining = True
 
     # ------------------------------------------------------------------
     # multi-host lockstep (reference: runner lockstep loop,
@@ -328,6 +339,10 @@ class LLMEngine:
         sampling_params: Optional[SamplingParams] = None,
         images: Optional[list] = None,
     ) -> int:
+        if self.draining:
+            raise EngineDrainingError(
+                "engine is draining (shutdown in progress); not accepting requests"
+            )
         sp = sampling_params or SamplingParams()
         if isinstance(prompt, str):
             assert self.tokenizer is not None, "text prompt needs a tokenizer"

@@ -8,6 +8,7 @@ app around a running LLMEngine.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Optional
 
@@ -181,7 +182,19 @@ def _chat_logger_middleware():
 def build_app(state: ServerState) -> web.Application:
     from vllm_rs_tpu.server import claude, openai
 
-    app = web.Application(middlewares=[_chat_logger_middleware()])
+    @web.middleware
+    async def _draining_mw(request, handler):
+        from vllm_rs_tpu.core.engine import EngineDrainingError
+
+        try:
+            return await handler(request)
+        except EngineDrainingError as e:
+            return web.json_response(
+                {"error": {"message": str(e), "type": "unavailable"}},
+                status=503,
+            )
+
+    app = web.Application(middlewares=[_draining_mw, _chat_logger_middleware()])
     app["state"] = state
     app.add_routes(openai.routes)
     app.add_routes(claude.routes)
@@ -225,11 +238,80 @@ def build_app(state: ServerState) -> web.Application:
         stopped = engine.profiler.stop() if engine.profiler is not None else False
         return web.json_response({"stopped": stopped})
 
+    async def metrics(_request):
+        """Prometheus text exposition of the engine's observability
+        surface (beyond the reference, which ships no Prometheus/OTel —
+        SURVEY §5 metrics row; the JSON twin lives at /v1/usage)."""
+        return web.Response(
+            text=prometheus_metrics(state.engine),
+            content_type="text/plain",
+            charset="utf-8",
+        )
+
+    async def on_shutdown(_app):
+        """Graceful drain: refuse new admissions, let in-flight requests
+        finish (bounded by VLLM_RS_TPU_DRAIN_TIMEOUT_S, default 30), then
+        stop the engine loop. aiohttp invokes this on SIGINT/SIGTERM."""
+        import asyncio
+
+        engine = state.engine
+        engine.begin_drain()
+        deadline = asyncio.get_event_loop().time() + float(
+            os.environ.get("VLLM_RS_TPU_DRAIN_TIMEOUT_S", "30")
+        )
+        while engine.scheduler.num_active > 0:
+            if asyncio.get_event_loop().time() > deadline:
+                logger.warning(
+                    "drain timeout: %d requests still active",
+                    engine.scheduler.num_active,
+                )
+                break
+            await asyncio.sleep(0.1)
+        logger.info("drained; stopping engine loop")
+
     app.router.add_get("/health", health)
     app.router.add_get("/", index)
+    app.router.add_get("/metrics", metrics)
     app.router.add_post("/v1/profile/start", profile_start)
     app.router.add_post("/v1/profile/stop", profile_stop)
+    app.on_shutdown.append(on_shutdown)
     return app
+
+
+def prometheus_metrics(engine) -> str:
+    """Render engine counters/gauges in the Prometheus text format."""
+    u = engine.usage_stats()
+    lines = []
+
+    def emit(name, kind, value, help_text, labels=""):
+        lines.append(f"# HELP vllm_rs_tpu_{name} {help_text}")
+        lines.append(f"# TYPE vllm_rs_tpu_{name} {kind}")
+        lines.append(f"vllm_rs_tpu_{name}{labels} {value}")
+
+    emit("prompt_tokens_total", "counter", u["prompt_tokens"],
+         "Prompt tokens admitted")
+    emit("output_tokens_total", "counter", u["output_tokens"],
+         "Tokens generated")
+    emit("kv_blocks_total", "gauge", u["kv_blocks_total"], "KV block pool size")
+    emit("kv_blocks_free", "gauge", u["kv_blocks_free"], "Free KV blocks")
+    emit("kv_usage_ratio", "gauge", u["kv_usage_ratio"], "KV pool occupancy")
+    emit("prefix_cache_blocks", "gauge", u["prefix_cache_blocks"],
+         "Blocks held by the prefix cache")
+    emit("active_requests", "gauge", u["active_requests"],
+         "Requests admitted and not finished")
+    for kind, st in (u.get("step_timings") or {}).items():
+        for q in ("p50_ms", "p99_ms"):
+            if q in st:
+                lines.append(
+                    f'vllm_rs_tpu_step_latency_ms{{kind="{kind}",q="{q[:-3]}"}} '
+                    f"{st[q]}"
+                )
+        if "tokens_per_s" in st:
+            lines.append(
+                f'vllm_rs_tpu_step_tokens_per_sec{{kind="{kind}"}} '
+                f"{st['tokens_per_s']}"
+            )
+    return "\n".join(lines) + "\n"
 
 
 def run_server(
