@@ -85,11 +85,15 @@ def build(size: str, spec_k: int = 0):
             eos_token_ids=(128001,),
         )
         cache = CacheConfig(block_size=16, num_blocks=512)  # 8192 slots
+        import os as _os
+
         # multi-step on-device decode: 32 tokens per engine step amortizes
         # the host round trip (this dev environment tunnels the TPU with
         # ~70ms RTT; on directly-attached hosts the sync cost is ~us)
         sched = SchedulerConfig(
-            max_num_seqs=8, chunk_size=1024, max_model_len=2048,
+            max_num_seqs=8,
+            chunk_size=int(_os.environ.get("VLLM_RS_TPU_CHUNK", "1024")),
+            max_model_len=2048,
             multi_step_decode=128,
         )
         quant = "int4"
@@ -142,13 +146,15 @@ def build(size: str, spec_k: int = 0):
 
         sched = SchedulerConfig(
             max_num_seqs=256,
-            # chunk experiments (VLLM_RS_TPU_CHUNK): every prefill step is
-            # one host↔device sync; bigger chunks = fewer tunnel RTTs
-            chunk_size=int(_os.environ.get("VLLM_RS_TPU_CHUNK", "2048")),
+            # chunk 16384 / k=128: every engine step is one host↔device
+            # sync, and the round-3 environment charges a large fixed cost
+            # per dispatch — same-day sweep (PERF_NOTES r3): chunk 2048/k32
+            # 4,014 tok/s → 8192/k64 6,988 → 16384/k128 **7,741** →
+            # 32768/k128 7,425 (too coarse). On directly-attached hosts
+            # this only reduces host glue.
+            chunk_size=int(_os.environ.get("VLLM_RS_TPU_CHUNK", "16384")),
             max_model_len=1024,
-            # k=32: the dev tunnel's ~70ms RTT amortizes to 2.2 ms/step;
-            # on directly-attached hosts this only reduces host glue
-            multi_step_decode=32,
+            multi_step_decode=128,
         )
         quant = None
     else:
@@ -357,7 +363,7 @@ def _headline(args):
     print("# headline 2/4: 64-stream serving", file=sys.stderr)
     print(json.dumps(serve_bench(
         engine, streams=64, prompt_tokens=128, decode_tokens=256,
-        multi_step=16)), flush=True)
+        multi_step=32, chunk_size=8192)), flush=True)
     # free the 8B engine (weights + KV pool) before building the 0.6b one
     del engine
     gc.collect()

@@ -23,23 +23,31 @@ import numpy as np
 
 
 def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
-                multi_step=16, baseline=120.74):
+                multi_step=16, chunk_size=0, baseline=120.74):
     """Run the continuous-batching serving bench on an existing engine.
 
     Reconfigures the scheduler for `streams` concurrency, runs a warmup
     burst plus two timed passes, and returns the metric dict (the hot
-    pass). Callable from bench.py's default headline run."""
+    pass). Callable from bench.py's default headline run.
+
+    chunk_size > 0 overrides the prefill chunk budget — every engine step
+    is one host↔device sync and the dev environment charges a large fixed
+    cost per dispatch, so coarser prefill steps raised same-day serving
+    347 → 655 tok/s AND cut p99 TTFT 22 s → 1.8 s (chunk 8192 + k=32,
+    PERF_NOTES r3)."""
     import dataclasses
 
     from vllm_rs_tpu.config import SamplingParams
 
+    sched_kw = dict(
+        max_num_seqs=max(streams, 8),
+        multi_step_decode=multi_step,
+    )
+    if chunk_size:
+        sched_kw["chunk_size"] = chunk_size
     engine.econfig = dataclasses.replace(
         engine.econfig,
-        scheduler=dataclasses.replace(
-            engine.econfig.scheduler,
-            max_num_seqs=max(streams, 8),
-            multi_step_decode=multi_step,
-        ),
+        scheduler=dataclasses.replace(engine.econfig.scheduler, **sched_kw),
     )
     engine.scheduler.config = engine.econfig.scheduler
     args = argparse.Namespace(
@@ -144,7 +152,8 @@ def main():
     ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--prompt-tokens", type=int, default=128)
     ap.add_argument("--decode-tokens", type=int, default=128)
-    ap.add_argument("--multi-step", type=int, default=8)
+    ap.add_argument("--multi-step", type=int, default=32)
+    ap.add_argument("--chunk", type=int, default=8192)
     args = ap.parse_args()
 
     import bench
@@ -158,6 +167,7 @@ def main():
                 prompt_tokens=args.prompt_tokens,
                 decode_tokens=args.decode_tokens,
                 multi_step=args.multi_step,
+                chunk_size=args.chunk,
             )
         )
     )
