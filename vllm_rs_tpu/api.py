@@ -41,6 +41,10 @@ class EngineBuilder:
     max_model_len: int = 8192
     max_num_seqs: int = 64
     chunk_size: int = 2048
+    # tokens decoded per host↔device sync (on-device multi-step loop);
+    # >1 trades per-token streaming granularity for step-dispatch
+    # amortization — decisive on high-RTT links (PERF_NOTES r3 #7)
+    multi_step: int = 1
     kv_dtype: str = "bfloat16"
     num_blocks: int = 0  # 0 → plan from free memory
     tp_size: int = 1
@@ -122,6 +126,7 @@ class EngineBuilder:
             chunk_size=self.chunk_size,
             max_model_len=max_len,
             prefix_cache_enabled=self.prefix_cache,
+            multi_step_decode=self.multi_step,
         )
         econfig = EngineConfig(
             model=config, cache=cache, scheduler=sched,

@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--tp-size", type=int, default=1)
     ap.add_argument("--dp-size", type=int, default=1)
     ap.add_argument("--chunk-size", type=int, default=2048)
+    ap.add_argument("--multi-step", type=int, default=1,
+                    help="tokens decoded per host sync (on-device loop); "
+                    ">1 amortizes dispatch cost on high-RTT links at the "
+                    "price of burstier streaming")
     ap.add_argument("--yarn-scaling-factor", type=float, default=0.0,
                     help="override/install YaRN rope scaling: extends the "
                     "context to factor x the original length (reference "
@@ -107,6 +111,7 @@ def main() -> None:
         max_model_len=args.max_model_len,
         max_num_seqs=args.max_num_seqs,
         chunk_size=args.chunk_size,
+        multi_step=args.multi_step,
         kv_dtype=args.kv_dtype,
         num_blocks=args.num_blocks,
         tp_size=args.tp_size,
