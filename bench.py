@@ -312,6 +312,8 @@ def _bench_spec(engine, size, *, spec_k, mode, prompt_tokens, decode_tokens, rs,
     from vllm_rs_tpu.config import SamplingParams
 
     vocab = engine.econfig.model.vocab_size
+    with engine._lock:  # clean pool after a prior headline phase
+        engine.block_manager.reset()
     run_once = _mk_run_once(engine, prompt_tokens, rs)
     base = corpus_tokens(vocab, prompt_tokens)
     prompt = base

@@ -50,6 +50,10 @@ def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
         scheduler=dataclasses.replace(engine.econfig.scheduler, **sched_kw),
     )
     engine.scheduler.config = engine.econfig.scheduler
+    # start from a clean KV pool: a prior bench phase's prefix-cache
+    # occupancy changes admission/eviction behavior (reference ClearBlocks)
+    with engine._lock:
+        engine.block_manager.reset()
     args = argparse.Namespace(
         streams=streams, prompt_tokens=prompt_tokens,
         decode_tokens=decode_tokens, multi_step=multi_step,
