@@ -71,6 +71,10 @@ class _RequestState:
         # prompt+output token-for-token, keeping prefix-cache hits alive
         self.replay_ids: Optional[List[int]] = None
         self.stream: "queue.Queue[StreamItem]" = queue.Queue()
+        # offline batch (engine.generate): nobody consumes the stream, so
+        # _deliver can skip the per-token StreamItem/queue work — ~30 µs
+        # of host glue per token that matters on single-core hosts
+        self.stream_disabled = False
         self.stop_strings = tuple(seq.sampling_params.stop or ())
         # stop-string scan resumes here each token; advanced so that only a
         # max_stop_len-1 tail is ever re-scanned (the reference checks a
@@ -618,6 +622,12 @@ class LLMEngine:
                 # leader already hit this seq's stop string; the finish is
                 # queued for the next step boundary — drop extra deltas
                 continue
+            if st.stream_disabled and st.detok is None and not st.stop_strings:
+                # offline-batch fast path: counters/guidance above already
+                # ran; outputs are read from seq state by generate()
+                if seq.is_finished:
+                    self._free_mamba(seq)
+                continue
             text = ""
             if st.detok is not None:
                 if st.replay_ids:
@@ -689,6 +699,8 @@ class LLMEngine:
         if not isinstance(sampling_params, list):
             sampling_params = [sampling_params] * len(prompts)
         ids = [self.add_request(p, sp) for p, sp in zip(prompts, sampling_params)]
+        for sid in ids:  # outputs are read from seq state, not the stream
+            self.requests[sid].stream_disabled = True
         pending = set(ids)
         while pending:
             if self.step() == 0 and not self.scheduler.has_work():
