@@ -236,11 +236,11 @@ def test_two_process_kill_survivor_exits(victim_rank):
     follower = _spawn(1, feed_port, env)
     procs = {0: leader, 1: follower}
     try:
-        _wait_for(leader, "READY", 120)
-        _wait_for(follower, "READY", 120)
+        _wait_for(leader, "READY", 300)
+        _wait_for(follower, "READY", 300)
         # both mid-serving: tokens flowing on each side
-        _wait_for(leader, "TOKENS", 60)
-        _wait_for(follower, "TOKENS", 60)
+        _wait_for(leader, "TOKENS", 120)
+        _wait_for(follower, "TOKENS", 120)
 
         victim, survivor = procs[victim_rank], procs[1 - victim_rank]
         victim.send_signal(signal.SIGKILL)
