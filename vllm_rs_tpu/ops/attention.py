@@ -142,18 +142,17 @@ def paged_attention_deferred(
         )
 
         # large-batch regime: the multi-row kernel amortizes the fixed
-        # per-grid-iteration charge that dominated at B ≳ 64 with short
-        # contexts in the round-2 environment (attn_lab3;
-        # ops/pallas/paged_attention_multirow.py). OPT-IN via
-        # VLLM_RS_TPU_ATTN_ROWS=RB: in the round-3 (bandwidth-degraded)
-        # environment the same-day A/B gave RB=8 +1.5% / RB=4 −2% at the
-        # 0.6b B=256 bench — inside noise, so auto keeps the single-row
-        # kernel until a same-day A/B shows a win (PERF_NOTES r3).
+        # per-grid-iteration charge (attn_lab3 analysis;
+        # ops/pallas/paged_attention_multirow.py). Same-day A/B at the
+        # 0.6b B=256 bench (chunk-16384/k-128 config, where attention is
+        # 35% of the step): single-row 8,290 tok/s vs RB=4 **8,509** /
+        # RB=8 8,462 / RB=16 8,241 — auto uses RB=4 for global-attention
+        # decode at B ≥ 128; VLLM_RS_TPU_ATTN_ROWS overrides (0 = off).
         import os
 
-        rows_env = int(os.environ.get("VLLM_RS_TPU_ATTN_ROWS", "0"))
+        rows_env = int(os.environ.get("VLLM_RS_TPU_ATTN_ROWS", "-1"))
         use_multirow = (
-            rows_env > 1
+            (rows_env > 1 or (rows_env < 0 and q.shape[0] >= 128))
             and not chunked
             and isinstance(sliding_window, int)
             and sliding_window == 0
