@@ -141,8 +141,10 @@ def build(size: str, spec_k: int = 0):
         # rounding waste; 1536 blocks = 98k slots keeps 256 streams at
         # ctx 320 resident incl. the <=63-slot/seq rounding (bf16 pool
         # 11.3 GB)
-        cache = CacheConfig(block_size=64, num_blocks=1536)
         import os as _os
+
+        _bs = int(_os.environ.get("VLLM_RS_TPU_BS", "64"))
+        cache = CacheConfig(block_size=_bs, num_blocks=1536 * 64 // _bs)
 
         sched = SchedulerConfig(
             max_num_seqs=256,
