@@ -50,9 +50,11 @@ def run_bench(tag, patch=None):
             return sum(len(o.output_token_ids) for o in outs), wall
 
         once()  # warmup
+        engine.step_timings.clear()
         toks, wall = once()
         print(json.dumps({"variant": tag, "tok_s": round(toks / wall, 1),
-                          "wall_s": round(wall, 2)}), flush=True)
+                          "wall_s": round(wall, 2),
+                          "steps": engine.step_timing_stats()}), flush=True)
         del engine
         import gc
 
@@ -119,6 +121,33 @@ def patch_no_attn():
     return lambda: setattr(layers_mod, "attention_block_deferred", orig)
 
 
+def patch_no_prefill_attend():
+    """Prefill keeps the KV write but skips the attend — isolates the
+    prefill flash-attention kernel's share (decode uses the deferred
+    path, unaffected). WRONG numerics; timing only."""
+    import vllm_rs_tpu.models.layers as layers_mod
+    import vllm_rs_tpu.ops.attention as am
+
+    orig = layers_mod.paged_attention
+
+    def fake(q, k_new, v_new, kv_l, meta, **kw):
+        kv_l = am.write_kv_layer(kv_l, k_new, v_new, meta.slot_mapping)
+        return q, kv_l
+
+    layers_mod.paged_attention = fake
+    return lambda: setattr(layers_mod, "paged_attention", orig)
+
+
+def patch_no_prefill_write():
+    """Prefill attends over the stale cache (no KV write scatter) —
+    isolates the per-layer prefill write_kv_layer scatter cost."""
+    import vllm_rs_tpu.ops.attention as am
+
+    orig = am.write_kv_layer
+    am.write_kv_layer = lambda kv_l, k, v, slots: kv_l
+    return lambda: setattr(am, "write_kv_layer", orig)
+
+
 def patch_all_aux():
     undos = [patch_no_scatter(), patch_no_attn(), patch_no_head(), patch_no_sampling()]
 
@@ -139,6 +168,8 @@ if __name__ == "__main__":
         "no_attn": patch_no_attn,
         "no_head": patch_no_head,
         "no_sampling": patch_no_sampling,
+        "no_prefill_attend": patch_no_prefill_attend,
+        "no_prefill_write": patch_no_prefill_write,
         "trunk_only": patch_all_aux,
     }
     for w in which:
