@@ -298,6 +298,19 @@ class ModelRunner:
                 slots[i, j] = self._slot_of(seq, start + j)
             context_lens[i] = start + c
             last_idx[i] = c - 1
+        # block-granular KV write (ops/kv_cache.py write_kv_layer): legal
+        # when T covers whole blocks and every chunk start in this batch is
+        # block-aligned (chunk_size % block_size == 0 makes mid-prompt
+        # chunks aligned; prefix-cache hits are block-granular; VL image
+        # slicing or odd replays fall back to per-row writes)
+        bw = None
+        bsz = self.econfig.cache.block_size
+        if T % bsz == 0:
+            starts = slots[:, ::bsz]  # [B, T//bsz]
+            valid = starts < self.num_slots
+            if np.all((starts % bsz == 0) | ~valid):
+                nb = self.num_slots // bsz
+                bw = np.where(valid, starts // bsz, nb).astype(np.int32)
         mm_embeds, mm_targets, mm_deepstack = self._prepare_mm(B, T, seqs, chunks)
         mrope = None
         if any(getattr(s, "mrope_table", None) is not None for s in seqs):
@@ -320,6 +333,7 @@ class ModelRunner:
             mm_targets=mm_targets,
             mm_deepstack=mm_deepstack,
             mrope_positions=jnp.asarray(mrope) if mrope is not None else None,
+            block_write_idx=jnp.asarray(bw) if bw is not None else None,
         )
         return jnp.asarray(token_ids), meta
 

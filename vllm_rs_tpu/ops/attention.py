@@ -259,7 +259,10 @@ def paged_attention(
     chunked: bool = False,
 ) -> Tuple[jax.Array, KVLayer]:
     """Write new KV then attend. Returns (out, kv_l)."""
-    kv_l = write_kv_layer(kv_l, k_new, v_new, meta.slot_mapping)
+    kv_l = write_kv_layer(
+        kv_l, k_new, v_new, meta.slot_mapping,
+        block_write_idx=getattr(meta, "block_write_idx", None),
+    )
     if backend == "auto":
         platform = jax.default_backend()
         backend = "pallas" if platform == "tpu" else "reference"

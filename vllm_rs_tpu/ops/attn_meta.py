@@ -44,3 +44,12 @@ class AttnMeta(NamedTuple):
     # deepstack features [n_levels, K, D] added at mm_targets after the
     # first n_levels layers (qwen3-VL, reference layers/deepstack.rs)
     mm_deepstack: jax.Array = None
+    # block-granular prefill KV write (set by prepare_prefill ONLY when
+    # every chunk in the batch starts block-aligned and T % block == 0):
+    # [B, T // block_size] int32 block index per covered block, pad =
+    # num_blocks. One scatter row per BLOCK instead of per token — the
+    # XLA scatter costs ~130 ns per update row regardless of width, which
+    # made the per-layer prefill write 33% of the prefill step
+    # (PERF_NOTES r3). None → per-row writes (unaligned chunks, VL image
+    # slicing edge cases).
+    block_write_idx: jax.Array = None

@@ -111,8 +111,34 @@ def write_kv_layer(
     k_new: jax.Array,  # [B, T, Hk, D]
     v_new: jax.Array,
     slot_mapping: jax.Array,  # [B, T] int32, pad == S (dropped)
+    block_write_idx: jax.Array = None,  # [B, T//bs] int32, pad = num_blocks
 ) -> KVLayer:
-    """Scatter this step's K/V rows into the per-layer pool."""
+    """Scatter this step's K/V rows into the per-layer pool.
+
+    With `block_write_idx` (block-aligned prefill chunks — see
+    AttnMeta.block_write_idx) the write runs at BLOCK granularity: one
+    scatter row of block_size·F elements per covered block, bs× fewer
+    update rows than the per-token path. Rows past a chunk's end inside a
+    covered block receive padding garbage — safe, they sit beyond the
+    sequence's context in its own block (masked everywhere, overwritten
+    by decode)."""
+    if block_write_idx is not None and not is_quantized_kv(kv_l):
+        S = kv_slots(kv_l)
+        F = kv_l.shape[-1]
+        G = block_write_idx.size
+        M = slot_mapping.size
+        bs = M // G
+        nb = S // bs
+        flat_blocks = unique_pad_slots(block_write_idx.reshape(-1), nb)
+        _u = dict(mode="drop", unique_indices=True)
+        blocked = kv_l.reshape(2, nb, bs * F)
+        blocked = blocked.at[0, flat_blocks].set(
+            k_new.reshape(G, bs * F).astype(kv_l.dtype), **_u
+        )
+        blocked = blocked.at[1, flat_blocks].set(
+            v_new.reshape(G, bs * F).astype(kv_l.dtype), **_u
+        )
+        return blocked.reshape(2, S, F)
     M = slot_mapping.size
     flat_slots = unique_pad_slots(slot_mapping.reshape(-1), kv_slots(kv_l))
     k_flat = k_new.reshape(M, -1)
