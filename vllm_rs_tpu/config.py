@@ -424,6 +424,10 @@ class SchedulerConfig:
     prefix_cache_evict_to_ratio: float = 0.5
     # KV pressure: swap out / preempt when used blocks exceed this ratio
     kv_pressure_ratio: float = 0.95
+    # swap-in cooling period after a swap-out (reference
+    # SWAP_COOLING_PERIOD = 5000 ms, scheduler.rs:49): prevents out/in
+    # thrash at the pressure boundary
+    swap_cooling_s: float = 5.0
     # on-device multi-step decode: tokens generated per engine step for
     # unguided, non-stop-string sequences (1 = classic per-token stepping)
     multi_step_decode: int = 1

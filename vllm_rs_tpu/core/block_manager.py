@@ -125,15 +125,16 @@ class BlockManager:
             matched = self.prefix_cache.match_hashes(hashes)
         else:
             hashes, matched = [], []
-        # never cache-hit the entire prompt: leave >=1 token to compute
-        while len(matched) * self.block_size >= seq.prompt_len and matched:
+        # never cache-hit the entire prefill span: leave >=1 token to
+        # compute (prefill_target covers recompute replay tokens too)
+        while len(matched) * self.block_size >= seq.prefill_target and matched:
             matched.pop()
         if self.hybrid_trim is not None:
             # hybrids: only blocks up to a recurrent-state snapshot boundary
             # are usable; the hook also restores/resets the mamba slot (a
             # recomputed sequence's slot holds stale state otherwise)
             matched = matched[: self.hybrid_trim(seq, hashes[: len(matched)])]
-        total = self.blocks_needed(seq.prompt_len)
+        total = self.blocks_needed(seq.prefill_target)
         fresh = total - len(matched)
         if not self._ensure_free(fresh):
             return False

@@ -140,7 +140,8 @@ class LLMEngine:
             else None
         )
         self.scheduler = Scheduler(
-            econfig.scheduler, self.block_manager, swap_backend=swap_backend
+            econfig.scheduler, self.block_manager, swap_backend=swap_backend,
+            swap_pool_blocks=econfig.cache.num_swap_blocks,
         )
         self.scheduler.set_eos_token_ids(econfig.model.eos_token_ids)
         self.requests: Dict[int, _RequestState] = {}
@@ -566,7 +567,11 @@ class LLMEngine:
         if self.profiler is not None:
             self.profiler.on_step_start()
         t_fwd = time.time()
-        if batch.kind == "decode" and batch.drafts is not None:
+        if batch.kind == "decode" and batch.spec_k > 0:
+            # on-device speculative loop: propose+verify in one program
+            # (n_steps is the per-seq emission budget)
+            tokens = self.runner.run_spec_multi(batch, batch.n_steps, batch.spec_k)
+        elif batch.kind == "decode" and batch.drafts is not None:
             tokens = self.runner.run_verify(batch, batch.drafts)
         elif batch.kind == "decode" and batch.n_steps > 1:
             tokens = self.runner.run_multi(batch, batch.n_steps)

@@ -76,7 +76,7 @@ class MambaSnapshotPool:
                 # state covers exactly the prefilled tokens (prefill_done
                 # additionally sampled one token, which is not forwarded)
                 covered = (
-                    seq.prompt_len if seq.prefill_done else seq.num_cached_tokens
+                    seq.prefill_target if seq.prefill_done else seq.num_cached_tokens
                 )
                 if covered and covered % bs == 0:
                     self._maybe_snapshot(seq, covered)

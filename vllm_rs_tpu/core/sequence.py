@@ -59,6 +59,7 @@ class Sequence:
         self.guidance = None
         # block count at swap-out time (CPU swap, scheduler.rs:830-1006)
         self.swapped_num_blocks = 0
+        self.swapped_time = 0.0  # monotonic swap-out time (cooling period)
         # recurrent-state slot for hybrid GDN models (MambaCache slot id)
         self.mamba_slot = None
         # multimodal: vision embeddings [K, D] + their prompt positions
@@ -73,6 +74,10 @@ class Sequence:
         self.block_table: List[int] = []
         # tokens whose KV already exists in the cache (prefix hits + chunks)
         self.num_cached_tokens = 0
+        # preemption-by-recompute: output tokens that must be REPLAYED
+        # through prefill (their KV was freed; decode would read garbage
+        # otherwise). 0 for normal sequences.
+        self.prefill_extra = 0
         # tokens matched from the prefix cache at admission (for usage stats)
         self.num_prefix_cached_tokens = 0
         # optional extra hash seed for multimodal prefix hashing
@@ -95,12 +100,18 @@ class Sequence:
         return self.prompt_len + len(self.output_token_ids)
 
     @property
+    def prefill_target(self) -> int:
+        """Tokens prefill must cover: the prompt, plus any generated tokens
+        being replayed after preemption-by-recompute."""
+        return self.prompt_len + self.prefill_extra
+
+    @property
     def prefill_done(self) -> bool:
-        return self.num_cached_tokens >= self.prompt_len
+        return self.num_cached_tokens >= self.prefill_target
 
     @property
     def num_prefill_remaining(self) -> int:
-        return max(self.prompt_len - self.num_cached_tokens, 0)
+        return max(self.prefill_target - self.num_cached_tokens, 0)
 
     def token_at(self, i: int) -> int:
         if i < self.prompt_len:
@@ -135,9 +146,16 @@ class Sequence:
 
         The reference swaps to CPU instead (block_manager.rs:910-990); we
         support both — this is the fallback when the swap pool is full.
+
+        Already-generated tokens become part of the prefill replay
+        (prefill_extra): their KV was freed with the blocks, so prefill
+        must recompute positions [0, num_tokens) before decode resumes —
+        re-prefilling only the prompt would leave decode reading freed
+        KV for the output positions.
         """
         self.block_table = []
         self.num_cached_tokens = 0
+        self.prefill_extra = len(self.output_token_ids)
         self.status = SequenceStatus.WAITING
 
     def __repr__(self) -> str:  # pragma: no cover

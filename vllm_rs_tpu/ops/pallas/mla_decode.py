@@ -145,6 +145,10 @@ def _mla_decode_call(
     MB = walk.shape[1]
     P = pages_per_step
     num_steps = -(-MB // P)
+    if num_steps * P > MB:
+        # index map reads column j*P+t up to num_steps*P-1: pad with the
+        # clamped last page so a partial final step never reads OOB SMEM
+        walk = jnp.pad(walk, ((0, 0), (0, num_steps * P - MB)), mode="edge")
 
     def page_index(t):
         def idx(b, j, walk_ref, cl_ref):

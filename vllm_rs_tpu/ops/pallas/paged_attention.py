@@ -253,6 +253,11 @@ def _decode_call(
         jax.lax.broadcasted_iota(jnp.int32, (B, MB), 1), last[:, None]
     )
     walk = jnp.take_along_axis(block_tables, pages, axis=1)
+    if num_steps * P > MB:
+        # the index map reads column j*P+t up to num_steps*P-1; pad with the
+        # clamped last page so the final partial step never reads past the
+        # table (an OOB SMEM read feeds an arbitrary page index to a DMA)
+        walk = jnp.pad(walk, ((0, 0), (0, num_steps * P - MB)), mode="edge")
 
     # Pooled mode: k_cache IS the whole [L*2*S, F] pool and the layer
     # offset folds into the walk table — the kernel reads its layer's

@@ -237,6 +237,11 @@ def _mr_decode_call(
         jax.lax.broadcasted_iota(jnp.int32, (B, MB), 1), last[:, None]
     )
     walk = jnp.take_along_axis(block_tables, pages, axis=1)
+    if num_steps * P > MB:
+        # index map reads column j*P+t up to num_steps*P-1: pad with the
+        # clamped last page so a partial final step never reads OOB SMEM
+        # (an arbitrary page index would feed a DMA — advisor r3 finding)
+        walk = jnp.pad(walk, ((0, 0), (0, num_steps * P - MB)), mode="edge")
     if layer_idx is not None:
         sp = slots_per_layer // block_size
         walk = jnp.stack(

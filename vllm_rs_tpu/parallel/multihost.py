@@ -153,6 +153,19 @@ class StepFeed:
             try:
                 conn, _ = self._srv.accept()
                 conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                # Bound SENDS only (SO_SNDTIMEO, not settimeout — the reader
+                # thread's recv must stay blocking): a follower that is frozen
+                # but keeps its TCP connection alive (stuck in a device call,
+                # recv buffer full) would otherwise block publish() — and with
+                # it the leader's engine thread, where check_liveness runs —
+                # forever, so the heartbeat fail-fast never fired for this
+                # failure mode (advisor r3 finding).
+                t = mh_timeout_s()
+                conn.setsockopt(
+                    socket.SOL_SOCKET,
+                    socket.SO_SNDTIMEO,
+                    struct.pack("<LL", int(t), int((t % 1.0) * 1e6)),
+                )
             except OSError:
                 return
             with self._lock:

@@ -65,30 +65,54 @@ def detect_checkpoint_fp4(st) -> Optional[str]:
     Markers: nibble blocks under `.weight_packed`/`.blocks`, or a uint8
     `.weight` next to `.weight_scale`; nvfp4 additionally carries a global
     scale (`.weight_scale_2` modelopt / `.weight_global_scale` ct) or per-16
-    E4M3 block scales (vs mxfp4's per-32 E8M0)."""
-    for k in st.keys():
-        if k.endswith(".weight_scale_2") or k.endswith(".weight_global_scale"):
+    E4M3 block scales (vs mxfp4's per-32 E8M0).
+
+    Both the packed tensor and the scales are validated before a format is
+    returned: FP4 nibbles pack into uint8 (compressed-tensors pack-quantized
+    INT4 also ships `weight_packed`+`weight_scale` but packs into int32 and
+    uses fp16/bf16 group scales — it must NOT classify as FP4; advisor r3
+    finding), and the scale granularity must be the format's block size
+    (per-32 E8M0-as-uint8 → mxfp4, per-16 E4M3 → nvfp4)."""
+
+    def classify(base):
+        packed = None
+        for bkey in (".weight_packed", ".blocks", ".weight"):
+            if base + bkey in st:
+                packed = st.get(base + bkey)
+                break
+        if packed is None or packed.dtype != jnp.uint8:
+            return None  # int32-packed = compressed-tensors INT4, not FP4
+        scales = None
+        for skey in (".weight_scale", ".scales"):
+            if base + skey in st:
+                scales = st.get(base + skey)
+                break
+        if scales is None or scales.ndim < 2:
+            return None
+        K = packed.shape[-1] * 2  # two nibbles per byte
+        sdt = str(scales.dtype)
+        if scales.shape[-1] * 32 == K and scales.dtype == jnp.uint8:
+            return "mxfp4"  # E8M0 exponents stored as uint8, per-32 blocks
+        has_global = (
+            base + ".weight_scale_2" in st or base + ".weight_global_scale" in st
+        )
+        if scales.shape[-1] * 16 == K and ("e4m3" in sdt or has_global):
             return "nvfp4"
+        return None
+
+    seen = set()
     for k in st.keys():
         base = None
-        if k.endswith(".weight_packed"):
-            base = k[: -len(".weight_packed")]
-        elif k.endswith(".blocks"):
-            base = k[: -len(".blocks")]
-        elif k.endswith(".weight_scale"):
-            b = k[: -len(".weight_scale")]
-            if b + ".weight" in st and st.get(b + ".weight").dtype == jnp.uint8:
-                base = b
-        if base is None:
+        for suffix in (".weight_packed", ".blocks", ".weight_scale", ".scales"):
+            if k.endswith(suffix):
+                base = k[: -len(suffix)]
+                break
+        if base is None or base in seen:
             continue
-        for skey in (".weight_scale", ".scales"):
-            if base + skey not in st:
-                continue
-            scales = st.get(base + skey)
-            for bkey in (".weight_packed", ".blocks", ".weight"):
-                if base + bkey in st:
-                    K = st.get(base + bkey).shape[-1] * 2
-                    return "mxfp4" if scales.shape[-1] * 32 == K else "nvfp4"
+        seen.add(base)
+        fmt = classify(base)
+        if fmt is not None:
+            return fmt
     return None
 
 
