@@ -735,6 +735,11 @@ class ModelRunner:
                 context_lens=jnp.where(active, cur_len + k, 0),
                 last_token_idx=jnp.full((B,), k, jnp.int32),
                 seq_slots=seq_slots,
+                # verify-deferred attention (eligible models): the pool
+                # holds [0, cur_len-1); the T new positions' KV scatters
+                # once after the layer scan instead of rewriting the pool
+                # per layer (models/llama.py verify_deferred)
+                pool_lens=jnp.where(active, jnp.maximum(cur_len - 1, 0), 0),
             )
             kv, preds = self._verify_impl(params, kv, row_tok, meta)
             # longest matching prefix; emit it plus the bonus token — every

@@ -213,6 +213,37 @@ def attention_block_deferred(
     return o, k, v
 
 
+def attention_block_verify_deferred(
+    lp: dict,
+    h: jax.Array,  # [B, T, D] — the k+1-token verify window
+    meta: AttnMeta,  # pool_lens set (ops/attn_meta.py)
+    kv_l: jax.Array,  # read-only; full pool with layer_idx
+    config: ModelConfig,
+    *,
+    block_size: int,
+    scale: float,
+    attn_backend: str = "auto",
+    layer_idx=None,
+):
+    """Verify-window attention with deferred KV write (the T>1 analog of
+    attention_block_deferred, for the on-device speculative loop): the
+    cache is only READ; the window's K/V return to the caller for one
+    post-scan scatter. Global attention only — callers gate on config.
+    Returns (attn_out, k_new [B,T,Hk,Dh], v_new)."""
+    from vllm_rs_tpu.ops.attention import paged_attention_verify_deferred
+
+    B, T, _ = h.shape
+    q, k, v = qkv_rope(lp, h, meta, config)
+    out = paged_attention_verify_deferred(
+        q, k, v, kv_l, meta,
+        block_size=block_size, scale=scale,
+        logit_softcap=config.attn_logit_softcap,
+        backend=attn_backend, layer_idx=layer_idx,
+    )
+    o = linear(lp["o"], out.reshape(B, T, -1))
+    return o, k, v
+
+
 def gather_last_hidden(hidden: jax.Array, meta: AttnMeta) -> jax.Array:
     """Gather each row's last real token's hidden state: [B, T, D] → [B, D]
     (reference llama.rs:306-310 last-token gather before lm_head)."""

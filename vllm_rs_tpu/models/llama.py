@@ -216,8 +216,24 @@ class CausalLM:
             and isinstance(kv, jax.Array)
             and type(self).attention is CausalLM.attention
         )
-        if deferred:
-            from vllm_rs_tpu.models.layers import attention_block_deferred
+        # verify-deferred (on-device speculative loop, T = k+1): same
+        # read-only-pool principle — the classic path below rewrites the
+        # full pool per layer per while_loop iteration (~107 ms/verify on
+        # the 0.6b, lab_spec.py). Global attention only: the pool partial
+        # folds T into the GQA group dim, which needs one shared key range.
+        verify_deferred = (
+            token_ids.shape[1] > 1
+            and meta.pool_lens is not None
+            and isinstance(kv, jax.Array)
+            and type(self).attention is CausalLM.attention
+            and not cfg.layer_windows
+            and not cfg.sliding_window
+        )
+        if deferred or verify_deferred:
+            from vllm_rs_tpu.models.layers import (
+                attention_block_deferred,
+                attention_block_verify_deferred,
+            )
             from vllm_rs_tpu.ops.attention import scatter_deferred_kv
 
             def layer_fn(h, xs):
@@ -227,12 +243,19 @@ class CausalLM:
                 # pooled mode: the kernel indexes layer li inside the full
                 # pool — scanning kv as xs forced a 32 MB slice copy per
                 # layer into the pallas operand (attn_lab2.py)
-                attn_out, k_new, v_new = attention_block_deferred(
-                    lp, attn_in, meta, kv, cfg,
-                    block_size=self.block_size, scale=self.scale,
-                    sliding_window=window, attn_backend=self.attn_backend,
-                    layer_idx=li,
-                )
+                if verify_deferred:
+                    attn_out, k_new, v_new = attention_block_verify_deferred(
+                        lp, attn_in, meta, kv, cfg,
+                        block_size=self.block_size, scale=self.scale,
+                        attn_backend=self.attn_backend, layer_idx=li,
+                    )
+                else:
+                    attn_out, k_new, v_new = attention_block_deferred(
+                        lp, attn_in, meta, kv, cfg,
+                        block_size=self.block_size, scale=self.scale,
+                        sliding_window=window, attn_backend=self.attn_backend,
+                        layer_idx=li,
+                    )
                 # gemma sandwich: post-attn norm applies BEFORE the residual
                 # add; mlp input comes from its own pre-norm (gemma3)
                 if cfg.sandwich_norms:
@@ -252,8 +275,10 @@ class CausalLM:
                         mlp_out, lp["post_ffw_ln"], cfg.rms_norm_eps, cfg.norm_plus_one
                     )
                 h = h + mlp_out
-                B = h.shape[0]
-                return h, (k_new.reshape(B, -1), v_new.reshape(B, -1))
+                # one scatter row per TOKEN: [B*T, Hk*Dh] (T == 1 on the
+                # plain deferred path)
+                F = k_new.shape[-2] * k_new.shape[-1]
+                return h, (k_new.reshape(-1, F), v_new.reshape(-1, F))
 
             L = cfg.num_hidden_layers
             h, (k_news, v_news) = jax.lax.scan(

@@ -197,6 +197,146 @@ def paged_attention_deferred(
     )
 
 
+def _verify_window_partial(
+    q: jax.Array,  # [B, T, Hq, D] (UNSCALED)
+    k_new: jax.Array,  # [B, T, Hk, D]
+    v_new: jax.Array,
+    *,
+    scale: float,
+    logit_softcap: float = 0.0,
+):
+    """Dense causal attention over the verify window's own (deferred) keys.
+
+    Returns the UNNORMALIZED flash partial (o_w [B,Hk,G,T,D] f32,
+    m_w, l_w [B,Hk,G,T] f32) for merging with the pool partial. The
+    diagonal (each query's own key) is always admitted, so l_w >= 1."""
+    B, T, Hq, D = q.shape
+    Hk = k_new.shape[2]
+    G = Hq // Hk
+    qf = q.astype(jnp.float32) * scale
+    qg = qf.reshape(B, T, Hk, G, D)
+    s = jnp.einsum("bthgd,bchd->bhgtc", qg, k_new.astype(jnp.float32))
+    if logit_softcap > 0.0:
+        s = jnp.tanh(s / logit_softcap) * logit_softcap
+    tq = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    tc = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    s = jnp.where((tc <= tq)[None, None, None], s, _NEG_INF)
+    m_w = jnp.max(s, axis=-1)  # [B, Hk, G, T]
+    p = jnp.exp(s - m_w[..., None])
+    l_w = jnp.sum(p, axis=-1)
+    o_w = jnp.einsum("bhgtc,bchd->bhgtd", p, v_new.astype(jnp.float32))
+    return o_w, m_w, l_w
+
+
+def paged_attention_verify_deferred(
+    q: jax.Array,  # [B, T, Hq, D], T = k+1 (the verify window)
+    k_new: jax.Array,  # [B, T, Hk, D]
+    v_new: jax.Array,
+    kv_l: KVLayer,  # per-layer [2, S, F]; or with layer_idx: full [L, 2, S, F]
+    meta: AttnMeta,  # pool_lens REQUIRED: tokens already in the pool per row
+    *,
+    block_size: int,
+    scale: float,
+    logit_softcap: float = 0.0,
+    backend: str = "auto",
+    layer_idx=None,
+) -> jax.Array:
+    """Verify-window attention WITHOUT writing the cache (the T>1 analog of
+    paged_attention_deferred, for the on-device speculative loop).
+
+    The classic write-in-scan path rewrites the full pool every layer of
+    every while_loop iteration — measured ~107 ms/verify-iter on the 0.6b
+    (lab_spec.py) vs ~3 ms for a plain deferred decode step. Here the pool
+    is read-only: query position pool_lens+t attends
+
+      - the POOL partial: keys [0, pool_lens) — identical for every t, so
+        T folds into the decode kernel's GQA group dim (one kernel call,
+        [B, Hk, G*T, D]) which returns its online-softmax (m, l) for
+        merging (with_lse);
+      - the WINDOW partial: a dense T x T causal attention over the k+1
+        deferred keys (tiny — XLA-fused VPU work);
+
+    flash-merged exactly; the caller scatters all layers' window KV into
+    the pool once after the layer scan. Global attention only (the pool
+    window bound would differ per t under sliding windows); callers gate
+    on config. Returns [B, T, Hq, D]."""
+    B, T, Hq, D = q.shape
+    Hk = k_new.shape[2]
+    G = Hq // Hk
+    assert meta.pool_lens is not None
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "reference"
+    pool_meta = meta._replace(context_lens=meta.pool_lens)
+
+    if backend == "pallas" and D % 128 == 0 and not is_quantized_kv(kv_l):
+        from vllm_rs_tpu.ops.pallas.paged_attention import (
+            paged_attention_decode_pallas,
+        )
+
+        # fold T into the group dim: [B, T, Hk, G, D] -> [B, Hk, G, T, D]
+        # -> one "decode" row of Hk*(G*T) query heads per sequence
+        q_fold = (
+            q.reshape(B, T, Hk, G, D)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(B, 1, Hq * T, D)
+        )
+        if layer_idx is not None:
+            o_p, m_p, l_p = paged_attention_decode_pallas(
+                q_fold, kv_l, kv_l, pool_meta,
+                block_size=block_size, scale=scale,
+                logit_softcap=logit_softcap, layer_idx=layer_idx,
+                with_lse=True,
+            )
+        else:
+            o_p, m_p, l_p = paged_attention_decode_pallas(
+                q_fold, kv_l[0], kv_l[1], pool_meta,
+                block_size=block_size, scale=scale,
+                logit_softcap=logit_softcap, with_lse=True,
+            )
+        o_p = (
+            o_p.reshape(B, Hk, G, T, D).astype(jnp.float32)
+        )
+        m_p = m_p.reshape(B, Hk, G, T)
+        l_p = l_p.reshape(B, Hk, G, T)
+    else:
+        # reference pool partial (gather-based) — same merge math, so CPU
+        # tests exercise the exact flash-merge the TPU path uses
+        if layer_idx is not None:
+            kv_l = jax.lax.dynamic_index_in_dim(kv_l, layer_idx, 0, keepdims=False)
+        k, v = gather_kv_layer(kv_l, meta.block_tables, block_size, Hk)
+        C = k.shape[1]
+        qf = q.astype(jnp.float32) * scale
+        qg = qf.reshape(B, T, Hk, G, D)
+        s = jnp.einsum("bthgd,bchd->bhgtc", qg, k.astype(jnp.float32))
+        if logit_softcap > 0.0:
+            s = jnp.tanh(s / logit_softcap) * logit_softcap
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, C), 4)
+        s = jnp.where(
+            kpos < meta.pool_lens[:, None, None, None, None], s, _NEG_INF
+        )
+        m_p = jnp.max(s, axis=-1)  # [B, Hk, G, T]
+        p = jnp.exp(s - m_p[..., None])
+        l_p = jnp.sum(p, axis=-1)
+        o_p = jnp.einsum("bhgtc,bchd->bhgtd", p, v.astype(jnp.float32))
+        l_safe = jnp.maximum(l_p, 1e-9)
+        o_p = o_p / l_safe[..., None]  # normalized, like the kernel output
+
+    o_w, m_w, l_w = _verify_window_partial(
+        q, k_new, v_new, scale=scale, logit_softcap=logit_softcap
+    )
+    # flash merge: the pool output is NORMALIZED (acc_p / l_p), the window
+    # partial is raw (sum of exp(s - m_w) * v)
+    m = jnp.maximum(m_p, m_w)
+    a_p = jnp.exp(m_p - m) * l_p  # pool weight
+    a_w = jnp.exp(m_w - m)  # window rescale
+    num = o_p * a_p[..., None] + o_w * a_w[..., None]
+    den = a_p + l_w * a_w  # >= exp(m_w - m) * 1 or a_p ~ l_p: never ~0
+    out = num / jnp.maximum(den, 1e-9)[..., None]
+    return (
+        out.transpose(0, 3, 1, 2, 4).reshape(B, T, Hq, D).astype(q.dtype)
+    )
+
+
 def scatter_deferred_kv(
     kv: jax.Array,  # [L, 2, S, F]
     k_news: jax.Array,  # [L, B, F]

@@ -53,3 +53,11 @@ class AttnMeta(NamedTuple):
     # (PERF_NOTES r3). None → per-row writes (unaligned chunks, VL image
     # slicing edge cases).
     block_write_idx: jax.Array = None
+    # verify-deferred attention (on-device speculative loop): number of
+    # tokens ALREADY IN THE POOL per row, [B] int32 (the T new positions'
+    # KV stays out of the pool until one post-scan scatter). When set with
+    # T > 1, eligible models split attention into a pool partial (decode
+    # kernel, T folded into the GQA group dim) flash-merged with a dense
+    # in-window causal partial — see ops/attention.py
+    # paged_attention_verify_deferred. None → classic write-in-scan.
+    pool_lens: jax.Array = None

@@ -52,6 +52,7 @@ def _decode_kernel(
     with_self: bool = False,
     kv_int8: bool = False,
     chunked: bool = False,
+    with_lse: bool = False,
 ):
     P = pages_per_step
     if with_self:
@@ -65,7 +66,14 @@ def _decode_kernel(
         vsc_refs = refs[P : 2 * P]
         refs = refs[2 * P :]
     out_ref = refs[0]
-    m_ref, l_ref, acc_ref = refs[1:]
+    refs = refs[1:]
+    if with_lse:
+        # extra outputs: the online-softmax running max and denominator,
+        # so the caller can flash-merge this pool attention with another
+        # partial (the verify forward's in-window part)
+        m_out_ref, l_out_ref = refs[0], refs[1]  # [1, Hk*G, 128]
+        refs = refs[2:]
+    m_ref, l_ref, acc_ref = refs
 
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -202,6 +210,9 @@ def _decode_kernel(
             l_ref[...] = l_new
         l = jnp.maximum(l_ref[:, :1], 1e-9)
         out_ref[0] = (acc_ref[...] / l).astype(out_ref.dtype).reshape(out_ref.shape[1:])
+        if with_lse:
+            m_out_ref[0] = m_ref[...]
+            l_out_ref[0] = l_ref[...]
 
 
 @functools.partial(
@@ -209,7 +220,7 @@ def _decode_kernel(
     static_argnames=(
         "block_size", "scale", "logit_softcap",
         "pages_per_step", "interpret", "with_self", "kv_int8",
-        "slots_per_layer", "chunked",
+        "slots_per_layer", "chunked", "with_lse",
     ),
 )
 def _decode_call(
@@ -234,6 +245,7 @@ def _decode_call(
     kv_int8: bool = False,
     slots_per_layer: int = 0,
     chunked: bool = False,
+    with_lse: bool = False,
 ):
     B, Hk, G, D = q.shape
     MB = block_tables.shape[1]
@@ -306,7 +318,14 @@ def _decode_call(
             *v_specs,
             *sc_specs,
         ],
-        out_specs=pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl, sw: (b, 0, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, Hk, G, D), lambda b, j, bt, cl, sw: (b, 0, 0, 0)),
+            *(
+                [pl.BlockSpec((1, Hk * G, 128), lambda b, j, bt, cl, sw: (b, 0, 0))] * 2
+                if with_lse
+                else []
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((Hk * G, 128), jnp.float32),  # m
             pltpu.VMEM((Hk * G, 128), jnp.float32),  # l
@@ -325,11 +344,15 @@ def _decode_call(
         with_self=with_self,
         kv_int8=kv_int8,
         chunked=chunked,
+        with_lse=with_lse,
     )
+    out_shape = [jax.ShapeDtypeStruct((B, Hk, G, D), q.dtype)]
+    if with_lse:
+        out_shape += [jax.ShapeDtypeStruct((B, Hk * G, 128), jnp.float32)] * 2
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hk, G, D), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -344,7 +367,10 @@ def _decode_call(
         *([v_cache] * P),
         *(([k_scales] * P + [v_scales] * P) if kv_int8 else []),
     )
-    return out
+    if with_lse:
+        out, m, l = out
+        return out, m[:, :, 0], l[:, :, 0]
+    return out[0]
 
 
 def paged_attention_pallas(
@@ -406,11 +432,17 @@ def paged_attention_decode_pallas(
     v_scales: Optional[jax.Array] = None,
     layer_idx: Optional[jax.Array] = None,  # pooled mode (traced scalar)
     chunked: bool = False,  # llama4 chunked attention: window = chunk size
+    with_lse: bool = False,  # also return (m, l) for flash-merging
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, Hq, D = q.shape
     assert T == 1, "decode kernel handles single-token queries"
+    if with_lse:
+        assert k_self is None and k_scales is None, (
+            "with_lse is the pool-partial mode (verify forward): no self "
+            "column, bf16 KV only"
+        )
     slots_per_layer = 0
     if layer_idx is not None:
         # pooled mode: k_cache is the full [L, 2, S, F] pool; flatten to
@@ -463,5 +495,9 @@ def paged_attention_decode_pallas(
         kv_int8=k_scales is not None,
         slots_per_layer=slots_per_layer,
         chunked=bool(chunked),
+        with_lse=bool(with_lse),
     )
+    if with_lse:
+        o, m, l = out
+        return o.reshape(B, 1, Hq, D), m, l
     return out.reshape(B, 1, Hq, D)
