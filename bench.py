@@ -436,6 +436,38 @@ def _headline(args):
         engine, "0.6b", spec_k=8, mode="grounded", prompt_tokens=128,
         decode_tokens=257, rs=rs)), flush=True)
 
+    # tail: driver-auditable quantization quality (VERDICT r3 item 8;
+    # BASELINE.md perplexity-delta requirement). Teacher-forced NLL on the
+    # SAME 0.6b weights (identical PRNG draw) at bf16 vs int4 — random
+    # weights still measure quantization noise faithfully. Sane bound:
+    # < 0.05 nats/token.
+    print("# tail: teacher-forced NLL delta int4 vs bf16 (0.6b)", file=sys.stderr)
+    from eval_ppl import score_tokens
+
+    m = engine.runner.model
+    bs = engine.econfig.cache.block_size
+    vocab = engine.econfig.model.vocab_size
+    toks = list(rs.randint(1, vocab - 1, size=1024))
+    nll_bf16, _ = score_tokens(m, engine.runner.params, toks, block_size=bs)
+    del engine  # free the bf16 pool + weights before the int4 re-init
+    gc.collect()
+    import jax as _jax
+
+    params_i4 = m.init_params(_jax.random.PRNGKey(0), quant="int4", quant_group=128)
+    nll_i4, _ = score_tokens(m, params_i4, toks, block_size=bs)
+    del params_i4
+    gc.collect()
+    print(json.dumps({
+        "metric": "ppl_delta_int4_vs_bf16",
+        "value": round(nll_i4 - nll_bf16, 4),
+        "unit": "nats/token",
+        "vs_baseline": round(nll_i4 - nll_bf16, 4),
+        "nll_bf16": round(nll_bf16, 4),
+        "nll_int4": round(nll_i4, 4),
+        "tokens": 1024,
+        "size": "0.6b",
+    }), flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -126,6 +126,9 @@ class ModelRunner:
         # step's writes. ALL public methods that touch self.kv serialize
         # behind this lock (advisor finding: engine.py:413 embed race).
         self._kv_lock = threading.RLock()
+        # executable shapes that died with a deterministic INTERNAL (see
+        # the quarantine block below prepare helpers)
+        self._quarantined = set()
         # one compiled executable per (B, T, needs_filters, needs_penalties)
         self._jit_step = jax.jit(
             self._step_impl,
@@ -266,8 +269,9 @@ class ModelRunner:
             w *= 2
         return min(w, self.max_blocks_per_seq)
 
-    def _fill_common(self, B, seqs):
-        MB = self._bt_width(seqs)
+    def _fill_common(self, B, seqs, MB: Optional[int] = None):
+        if MB is None:
+            MB = self._bt_width(seqs)
         block_tables = np.zeros((B, MB), dtype=np.int32)
         context_lens = np.zeros((B,), dtype=np.int32)
         for i, seq in enumerate(seqs):
@@ -275,10 +279,71 @@ class ModelRunner:
             block_tables[i, : len(bt)] = bt
         return block_tables, context_lens
 
-    def prepare_prefill(self, batch: ScheduledBatch):
+    # ------------------------------------------------------------------
+    # per-executable INTERNAL quarantine (VERDICT r4 item 7)
+    # ------------------------------------------------------------------
+    # Some compiled program shapes die deterministically at RUNTIME with
+    # "INTERNAL: TPU backend error" in this environment (PERF_NOTES r3
+    # #4: e.g. >=513-token 8B generations); _dispatch_with_retry's blind
+    # retry cannot help a per-shape fault. Once retries are exhausted the
+    # (kind, B, T, MB) executable shape is quarantined and the batch
+    # re-buckets to the nearest LARGER clean shape — more padding, same
+    # semantics, so requests complete instead of erroring. Reference
+    # analog: engine-loop error containment (engine.rs:1707-1745) cancels
+    # the requests; re-bucketing completes them.
+
+    _QUARANTINE_ATTEMPTS = 4
+
+    def _next_shape(self, kind: str, shape):
+        """Escalation ladder past a quarantined shape: wider block table,
+        then larger row bucket, then (prefill) larger token bucket."""
+        B, T, MB = shape
+        if MB < self.max_blocks_per_seq:
+            return (B, T, min(max(MB * 2, 4), self.max_blocks_per_seq))
+        rows = (
+            self.prefill_row_buckets if kind == "prefill" else self.decode_buckets
+        )
+        for b in rows:
+            if b > B:
+                return (b, T, MB)
+        if kind == "prefill":
+            for t in self.econfig.prefill_buckets:
+                if t > T:
+                    return (B, t, MB)
+        raise RuntimeError(
+            f"no clean executable shape remains for kind={kind} past "
+            f"(B={B}, T={T}, MB={MB}); quarantined={sorted(self._quarantined)}"
+        )
+
+    def _clean_shape(self, kind: str, B: int, T: int, seqs):
+        """(B, T, MB) for this batch, skipping quarantined executables."""
+        shape = (B, T, self._bt_width(seqs))
+        while (kind,) + shape in self._quarantined:
+            shape = self._next_shape(kind, shape)
+        return shape
+
+    def _quarantine_or_raise(self, kind: str, shape, exc: Exception, attempt: int):
+        """After a dispatch failure: quarantine deterministic INTERNAL
+        shapes (so the caller's loop re-buckets), re-raise anything else."""
+        if "INTERNAL" not in str(exc) or attempt >= self._QUARANTINE_ATTEMPTS - 1:
+            raise exc
+        self._quarantined.add((kind,) + tuple(shape))
+        logger.error(
+            "deterministic INTERNAL on %s executable (B=%d, T=%d, MB=%d) — "
+            "quarantined, re-bucketing to the nearest clean shape",
+            kind, *shape,
+        )
+
+    def prepare_prefill(self, batch: ScheduledBatch, shape=None):
         seqs, chunks = batch.seqs, batch.chunk_sizes
-        T = bucket_of(max(chunks), self.econfig.prefill_buckets)
-        B = bucket_of(len(seqs), self.prefill_row_buckets)
+        if shape is None:
+            shape = self._clean_shape(
+                "prefill",
+                bucket_of(len(seqs), self.prefill_row_buckets),
+                bucket_of(max(chunks), self.econfig.prefill_buckets),
+                seqs,
+            )
+        B, T, MB = shape
         token_ids = np.zeros((B, T), dtype=np.int32)
         positions = np.zeros((B, T), dtype=np.int32)
         slots = np.full((B, T), self.num_slots, dtype=np.int32)
@@ -287,7 +352,7 @@ class ModelRunner:
         # layer scatters with mode="drop", so their garbage state
         # updates vanish instead of clobbering slot 0 (a live slot)
         seq_slots = np.full((B,), self.mamba_slots, dtype=np.int32)
-        block_tables, context_lens = self._fill_common(B, seqs)
+        block_tables, context_lens = self._fill_common(B, seqs, MB)
         for i, (seq, c) in enumerate(zip(seqs, chunks)):
             seq_slots[i] = getattr(seq, "mamba_slot", 0) or 0
             start = seq.num_cached_tokens
@@ -378,9 +443,13 @@ class ModelRunner:
             jnp.asarray(ds_arr) if ds_arr is not None else None
         )
 
-    def prepare_decode(self, batch: ScheduledBatch):
+    def prepare_decode(self, batch: ScheduledBatch, shape=None):
         seqs = batch.seqs
-        B = bucket_of(len(seqs), self.decode_buckets)
+        if shape is None:
+            shape = self._clean_shape(
+                "decode", bucket_of(len(seqs), self.decode_buckets), 1, seqs
+            )
+        B, _, MB = shape
         token_ids = np.zeros((B, 1), dtype=np.int32)
         positions = np.zeros((B, 1), dtype=np.int32)
         slots = np.full((B, 1), self.num_slots, dtype=np.int32)
@@ -389,7 +458,7 @@ class ModelRunner:
         # layer scatters with mode="drop", so their garbage state
         # updates vanish instead of clobbering slot 0 (a live slot)
         seq_slots = np.full((B,), self.mamba_slots, dtype=np.int32)
-        block_tables, context_lens = self._fill_common(B, seqs)
+        block_tables, context_lens = self._fill_common(B, seqs, MB)
         for i, seq in enumerate(seqs):
             pos = seq.num_tokens - 1
             token_ids[i, 0] = seq.last_token_id
@@ -484,31 +553,46 @@ class ModelRunner:
 
     def run(self, batch: ScheduledBatch) -> List[int]:
         """Execute one scheduled step, return one sampled token per seq."""
-        if batch.kind == "prefill":
-            token_ids, meta = self.prepare_prefill(batch)
-        else:
-            token_ids, meta = self.prepare_decode(batch)
-        B = token_ids.shape[0]
-        st, needs_filters, needs_penalties, mask = self.prepare_sampling(batch.seqs, B)
-        self._step_counter += 1
-        token_ids, meta, st, key, mask = self._globalize(
-            (token_ids, meta, st, self._base_key, mask)
-        )
-        with self._kv_lock:
-            self.kv, tokens, _ = _dispatch_with_retry(
-                self._jit_step,
-                self.params,
-                self.kv,
-                token_ids,
-                meta,
-                st,
-                key,
-                mask,
-                needs_filters=needs_filters,
-                needs_penalties=needs_penalties,
+        for attempt in range(self._QUARANTINE_ATTEMPTS):
+            if batch.kind == "prefill":
+                shape = self._clean_shape(
+                    "prefill",
+                    bucket_of(len(batch.seqs), self.prefill_row_buckets),
+                    bucket_of(max(batch.chunk_sizes), self.econfig.prefill_buckets),
+                    batch.seqs,
+                )
+                token_ids, meta = self.prepare_prefill(batch, shape=shape)
+            else:
+                shape = self._clean_shape(
+                    "decode", bucket_of(len(batch.seqs), self.decode_buckets),
+                    1, batch.seqs,
+                )
+                token_ids, meta = self.prepare_decode(batch, shape=shape)
+            B = token_ids.shape[0]
+            st, needs_filters, needs_penalties, mask = self.prepare_sampling(batch.seqs, B)
+            token_ids_g, meta_g, st_g, key, mask_g = self._globalize(
+                (token_ids, meta, st, self._base_key, mask)
             )
-        host_tokens = self._fetch(tokens)
-        return [int(host_tokens[i]) for i in range(len(batch.seqs))]
+            try:
+                with self._kv_lock:
+                    self.kv, tokens, _ = _dispatch_with_retry(
+                        self._jit_step,
+                        self.params,
+                        self.kv,
+                        token_ids_g,
+                        meta_g,
+                        st_g,
+                        key,
+                        mask_g,
+                        needs_filters=needs_filters,
+                        needs_penalties=needs_penalties,
+                    )
+            except Exception as e:
+                self._quarantine_or_raise(batch.kind, shape, e, attempt)
+                continue
+            self._step_counter += 1
+            host_tokens = self._fetch(tokens)
+            return [int(host_tokens[i]) for i in range(len(batch.seqs))]
 
     # ------------------------------------------------------------------
     # multi-step decode: an on-device autoregressive loop
@@ -590,44 +674,51 @@ class ModelRunner:
         Returns [num_seqs, n_steps] sampled tokens."""
         assert batch.kind == "decode"
         seqs = batch.seqs
-        B = bucket_of(len(seqs), self.decode_buckets)
-        MB = self._bt_width(seqs)
-        start_tokens = np.zeros((B,), dtype=np.int32)
-        start_pos = np.zeros((B,), dtype=np.int32)
-        block_tables = np.zeros((B, MB), dtype=np.int32)
-        mslots = np.full((B,), self.mamba_slots, dtype=np.int32)
-        for i, seq in enumerate(seqs):
-            start_tokens[i] = seq.last_token_id
-            start_pos[i] = seq.num_tokens - 2  # position of last token
-            block_tables[i, : len(seq.block_table)] = seq.block_table
-            mslots[i] = getattr(seq, "mamba_slot", 0) or 0
-        st, needs_filters, needs_penalties, mask = self.prepare_sampling(seqs, B)
-        assert mask is None, "guided sequences use single-step decode"
         if not hasattr(self, "_jit_multi"):
             self._jit_multi = jax.jit(
                 self._multi_step_impl,
                 static_argnames=("n_steps", "needs_filters", "needs_penalties"),
                 donate_argnames=("kv",),
             )
-        valid = np.zeros((B,), dtype=bool)
-        valid[: len(seqs)] = True
-        g_in = self._globalize(
-            (start_tokens, start_pos, block_tables, valid, mslots, st, self._base_key)
-        )
-        with self._kv_lock:
-            self.kv, out = _dispatch_with_retry(
-                self._jit_multi,
-                self.params,
-                self.kv,
-                *[jnp.asarray(x) if self._replicated is None else x for x in g_in[:5]],
-                g_in[5],
-                g_in[6],
-                n_steps=n_steps,
-                needs_filters=needs_filters,
-                needs_penalties=needs_penalties,
+        for attempt in range(self._QUARANTINE_ATTEMPTS):
+            shape = self._clean_shape(
+                "multi", bucket_of(len(seqs), self.decode_buckets), n_steps, seqs
             )
-        self._step_counter += n_steps
-        return self._fetch(out)[: len(seqs)]
+            B, _, MB = shape
+            start_tokens = np.zeros((B,), dtype=np.int32)
+            start_pos = np.zeros((B,), dtype=np.int32)
+            block_tables = np.zeros((B, MB), dtype=np.int32)
+            mslots = np.full((B,), self.mamba_slots, dtype=np.int32)
+            for i, seq in enumerate(seqs):
+                start_tokens[i] = seq.last_token_id
+                start_pos[i] = seq.num_tokens - 2  # position of last token
+                block_tables[i, : len(seq.block_table)] = seq.block_table
+                mslots[i] = getattr(seq, "mamba_slot", 0) or 0
+            st, needs_filters, needs_penalties, mask = self.prepare_sampling(seqs, B)
+            assert mask is None, "guided sequences use single-step decode"
+            valid = np.zeros((B,), dtype=bool)
+            valid[: len(seqs)] = True
+            g_in = self._globalize(
+                (start_tokens, start_pos, block_tables, valid, mslots, st, self._base_key)
+            )
+            try:
+                with self._kv_lock:
+                    self.kv, out = _dispatch_with_retry(
+                        self._jit_multi,
+                        self.params,
+                        self.kv,
+                        *[jnp.asarray(x) if self._replicated is None else x for x in g_in[:5]],
+                        g_in[5],
+                        g_in[6],
+                        n_steps=n_steps,
+                        needs_filters=needs_filters,
+                        needs_penalties=needs_penalties,
+                    )
+            except Exception as e:
+                self._quarantine_or_raise("multi", shape, e, attempt)
+                continue
+            self._step_counter += n_steps
+            return self._fetch(out)[: len(seqs)]
 
     # ------------------------------------------------------------------
     # speculative decoding: verify k drafted tokens in one forward
@@ -782,48 +873,56 @@ class ModelRunner:
         `self.spec_stats` (emitted tokens / verify iterations)."""
         assert batch.kind == "decode"
         seqs = batch.seqs
-        B = bucket_of(len(seqs), self.decode_buckets)
-        MB = self._bt_width(seqs)
         need = max(s.num_tokens for s in seqs) + budget + k + 1
         Lbuf = self._SPEC_BUF_MIN
         while Lbuf < need:
             Lbuf *= 2
-        tok_buf = np.zeros((B, Lbuf), dtype=np.int32)
-        cur_len = np.zeros((B,), dtype=np.int32)
-        block_tables = np.zeros((B, MB), dtype=np.int32)
-        valid = np.zeros((B,), dtype=bool)
-        cap = np.zeros((B,), dtype=np.int32)
-        mslots = np.full((B,), self.mamba_slots, dtype=np.int32)
-        for i, seq in enumerate(seqs):
-            ids = seq.all_token_ids()
-            tok_buf[i, : len(ids)] = ids
-            cur_len[i] = len(ids)
-            bt = seq.block_table[:MB]  # cap keeps positions within MB pages
-            block_tables[i, : len(bt)] = bt
-            valid[i] = True
-            cap[i] = min(
-                len(seq.block_table) * self.block_size,
-                self.econfig.scheduler.max_model_len,
-                Lbuf - 1,
-            )
         if not hasattr(self, "_jit_spec_multi"):
             self._jit_spec_multi = jax.jit(
                 self._spec_multi_impl,
                 static_argnames=("budget", "k"),
                 donate_argnames=("kv",),
             )
-        g_in = self._globalize(
-            (tok_buf, cur_len, block_tables, valid, cap, mslots)
-        )
-        with self._kv_lock:
-            self.kv, out, n_out, vsteps = _dispatch_with_retry(
-                self._jit_spec_multi,
-                self.params,
-                self.kv,
-                *[jnp.asarray(x) if self._replicated is None else x for x in g_in],
-                budget=budget,
-                k=k,
+        for attempt in range(self._QUARANTINE_ATTEMPTS):
+            shape = self._clean_shape(
+                "spec", bucket_of(len(seqs), self.decode_buckets), budget, seqs
             )
+            B, _, MB = shape
+            tok_buf = np.zeros((B, Lbuf), dtype=np.int32)
+            cur_len = np.zeros((B,), dtype=np.int32)
+            block_tables = np.zeros((B, MB), dtype=np.int32)
+            valid = np.zeros((B,), dtype=bool)
+            cap = np.zeros((B,), dtype=np.int32)
+            mslots = np.full((B,), self.mamba_slots, dtype=np.int32)
+            for i, seq in enumerate(seqs):
+                ids = seq.all_token_ids()
+                tok_buf[i, : len(ids)] = ids
+                cur_len[i] = len(ids)
+                bt = seq.block_table[:MB]  # cap keeps positions within MB pages
+                block_tables[i, : len(bt)] = bt
+                valid[i] = True
+                cap[i] = min(
+                    len(seq.block_table) * self.block_size,
+                    self.econfig.scheduler.max_model_len,
+                    Lbuf - 1,
+                )
+            g_in = self._globalize(
+                (tok_buf, cur_len, block_tables, valid, cap, mslots)
+            )
+            try:
+                with self._kv_lock:
+                    self.kv, out, n_out, vsteps = _dispatch_with_retry(
+                        self._jit_spec_multi,
+                        self.params,
+                        self.kv,
+                        *[jnp.asarray(x) if self._replicated is None else x for x in g_in],
+                        budget=budget,
+                        k=k,
+                    )
+            except Exception as e:
+                self._quarantine_or_raise("spec", shape, e, attempt)
+                continue
+            break
         out = self._fetch(out)
         n_out = self._fetch(n_out)
         vsteps = int(self._fetch(vsteps))
@@ -848,39 +947,50 @@ class ModelRunner:
         seqs = batch.seqs
         k = max(len(d) for d in drafts)
         T = k + 1
-        B = bucket_of(len(seqs), self.decode_buckets)
-        token_ids = np.zeros((B, T), dtype=np.int32)
-        positions = np.zeros((B, T), dtype=np.int32)
-        slots = np.full((B, T), self.num_slots, dtype=np.int32)
-        last_idx = np.zeros((B,), dtype=np.int32)
-        # padding rows point one past the last mamba slot: the GDN
-        # layer scatters with mode="drop", so their garbage state
-        # updates vanish instead of clobbering slot 0 (a live slot)
-        seq_slots = np.full((B,), self.mamba_slots, dtype=np.int32)
-        block_tables, context_lens = self._fill_common(B, seqs)
-        for i, (seq, d) in enumerate(zip(seqs, drafts)):
-            row = [seq.last_token_id] + list(d) + [0] * (k - len(d))
-            start = seq.num_tokens - 1
-            token_ids[i, :] = row
-            positions[i, :] = np.arange(start, start + T, dtype=np.int32)
-            for j in range(1 + len(d)):
-                slots[i, j] = self._slot_of(seq, start + j)
-            context_lens[i] = start + 1 + len(d)
-            last_idx[i] = len(d)
-            seq_slots[i] = getattr(seq, "mamba_slot", 0) or 0
-        meta = AttnMeta(
-            positions=jnp.asarray(positions),
-            slot_mapping=jnp.asarray(slots),
-            block_tables=jnp.asarray(block_tables),
-            context_lens=jnp.asarray(context_lens),
-            last_token_idx=jnp.asarray(last_idx),
-            seq_slots=jnp.asarray(seq_slots),
-        )
         if not hasattr(self, "_jit_verify"):
             self._jit_verify = jax.jit(self._verify_impl, donate_argnames=("kv",))
-        g_tok, meta = self._globalize((jnp.asarray(token_ids), meta))
-        with self._kv_lock:
-            self.kv, preds = self._jit_verify(self.params, self.kv, g_tok, meta)
+        for attempt in range(self._QUARANTINE_ATTEMPTS):
+            shape = self._clean_shape(
+                "verify", bucket_of(len(seqs), self.decode_buckets), T, seqs
+            )
+            B, _, MB = shape
+            token_ids = np.zeros((B, T), dtype=np.int32)
+            positions = np.zeros((B, T), dtype=np.int32)
+            slots = np.full((B, T), self.num_slots, dtype=np.int32)
+            last_idx = np.zeros((B,), dtype=np.int32)
+            # padding rows point one past the last mamba slot: the GDN
+            # layer scatters with mode="drop", so their garbage state
+            # updates vanish instead of clobbering slot 0 (a live slot)
+            seq_slots = np.full((B,), self.mamba_slots, dtype=np.int32)
+            block_tables, context_lens = self._fill_common(B, seqs, MB)
+            for i, (seq, d) in enumerate(zip(seqs, drafts)):
+                row = [seq.last_token_id] + list(d) + [0] * (k - len(d))
+                start = seq.num_tokens - 1
+                token_ids[i, :] = row
+                positions[i, :] = np.arange(start, start + T, dtype=np.int32)
+                for j in range(1 + len(d)):
+                    slots[i, j] = self._slot_of(seq, start + j)
+                context_lens[i] = start + 1 + len(d)
+                last_idx[i] = len(d)
+                seq_slots[i] = getattr(seq, "mamba_slot", 0) or 0
+            meta = AttnMeta(
+                positions=jnp.asarray(positions),
+                slot_mapping=jnp.asarray(slots),
+                block_tables=jnp.asarray(block_tables),
+                context_lens=jnp.asarray(context_lens),
+                last_token_idx=jnp.asarray(last_idx),
+                seq_slots=jnp.asarray(seq_slots),
+            )
+            g_tok, meta_g = self._globalize((jnp.asarray(token_ids), meta))
+            try:
+                with self._kv_lock:
+                    self.kv, preds = _dispatch_with_retry(
+                        self._jit_verify, self.params, self.kv, g_tok, meta_g
+                    )
+            except Exception as e:
+                self._quarantine_or_raise("verify", shape, e, attempt)
+                continue
+            break
         preds = self._fetch(preds)
         out = []
         for i, (seq, d) in enumerate(zip(seqs, drafts)):
