@@ -403,6 +403,14 @@ def _headline(args):
     print(json.dumps(serve_bench(
         engine, streams=64, prompt_tokens=128, decode_tokens=256,
         multi_step=32, chunk_size=8192)), flush=True)
+    # streaming config (VERDICT r3 item 5): same engine + concurrency with
+    # stream pacing on — bursts are re-delivered across the next step's
+    # duration, so a streaming client sees smooth ITL (target: p99 ITL
+    # ≤ 250 ms at ≥ 50% of the max-throughput config's tok/s)
+    print("# headline 2b/4: 64-stream serving, stream-paced ITL", file=sys.stderr)
+    print(json.dumps(serve_bench(
+        engine, streams=64, prompt_tokens=128, decode_tokens=256,
+        multi_step=32, chunk_size=8192, pacing=True)), flush=True)
     # free the 8B engine (weights + KV pool) before building the 0.6b one
     del engine
     gc.collect()

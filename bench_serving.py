@@ -23,7 +23,7 @@ import numpy as np
 
 
 def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
-                multi_step=16, chunk_size=0, baseline=120.74):
+                multi_step=16, chunk_size=0, baseline=120.74, pacing=False):
     """Run the continuous-batching serving bench on an existing engine.
 
     Reconfigures the scheduler for `streams` concurrency, runs a warmup
@@ -42,6 +42,10 @@ def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
     sched_kw = dict(
         max_num_seqs=max(streams, 8),
         multi_step_decode=multi_step,
+        # streaming config: pace each k-burst across the next step's
+        # duration so a client sees ~step/k inter-token gaps instead of
+        # step-sized stalls (VERDICT r3 item 5; core/pacer.py)
+        stream_pacing=pacing,
     )
     if chunk_size:
         sched_kw["chunk_size"] = chunk_size
@@ -135,10 +139,15 @@ def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
         return v[min(int(len(v) * p / 100), len(v) - 1)] if v else 0.0
 
     return {
-        "metric": "serving_throughput_tokens_per_sec",
+        "metric": (
+            "serving_streaming_paced_tokens_per_sec"
+            if pacing
+            else "serving_throughput_tokens_per_sec"
+        ),
         "value": round(total_tokens / wall, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(total_tokens / wall / baseline, 4),
+        "stream_pacing": pacing,
         "streams": args.streams,
         "p50_ttft_s": round(pct(ttfts, 50), 3),
         "p99_ttft_s": round(pct(ttfts, 99), 3),
@@ -158,6 +167,8 @@ def main():
     ap.add_argument("--decode-tokens", type=int, default=128)
     ap.add_argument("--multi-step", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--pacing", action="store_true",
+                    help="stream-paced delivery (smooth ITL) config")
     args = ap.parse_args()
 
     import bench
@@ -172,6 +183,7 @@ def main():
                 decode_tokens=args.decode_tokens,
                 multi_step=args.multi_step,
                 chunk_size=args.chunk,
+                pacing=args.pacing,
             )
         )
     )

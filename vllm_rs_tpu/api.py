@@ -45,6 +45,9 @@ class EngineBuilder:
     # >1 trades per-token streaming granularity for step-dispatch
     # amortization — decisive on high-RTT links (PERF_NOTES r3 #7)
     multi_step: int = 1
+    # smooth ITL for streaming clients under multi-step: bursts are paced
+    # across the next step's duration (core/pacer.py); no throughput cost
+    stream_pacing: bool = False
     kv_dtype: str = "bfloat16"
     num_blocks: int = 0  # 0 → plan from free memory
     tp_size: int = 1
@@ -127,6 +130,7 @@ class EngineBuilder:
             max_model_len=max_len,
             prefix_cache_enabled=self.prefix_cache,
             multi_step_decode=self.multi_step,
+            stream_pacing=self.stream_pacing,
         )
         econfig = EngineConfig(
             model=config, cache=cache, scheduler=sched,

@@ -434,6 +434,11 @@ class SchedulerConfig:
     # prompt-lookup speculative decoding: draft up to k tokens per greedy
     # sequence and verify them in one forward (0 = disabled)
     spec_decode_k: int = 0
+    # stream pacing: re-deliver each multi-step burst spread across the
+    # next step's duration so streaming clients see ~step/k inter-token
+    # gaps instead of k-token bursts with step-sized stalls (core/pacer.py;
+    # throughput and the schedule itself are unchanged)
+    stream_pacing: bool = False
 
 
 @dataclass(frozen=True)

@@ -184,6 +184,28 @@ class LLMEngine:
         # graceful drain (server SIGTERM): refuse admissions, finish
         # in-flight work, then the server stops the loop
         self.draining = False
+        # stream pacing (scheduler.stream_pacing): multi-step bursts are
+        # re-delivered spread across the next step's duration (core/pacer.py)
+        self._pacer = None
+
+    def _get_pacer(self):
+        if self._pacer is None:
+            from vllm_rs_tpu.core.pacer import StreamPacer
+
+            self._pacer = StreamPacer()
+        return self._pacer
+
+    def _pacing_active(self) -> bool:
+        return (
+            self.econfig.scheduler.stream_pacing and self.mh_role != "follower"
+        )
+
+    def _pacer_flush(self, sid: Optional[int] = None) -> None:
+        """Deliver any paced items now — called before every out-of-band
+        terminal StreamItem (abort/error/finish) so it can't overtake
+        in-flight paced tokens."""
+        if self._pacer is not None:
+            self._pacer.flush(sid)
 
     def begin_drain(self) -> None:
         self.draining = True
@@ -231,6 +253,7 @@ class LLMEngine:
             self.scheduler.finish_seq(st.seq, FinishReason(reason))
             self._free_mamba(st.seq)
             if self.mh_role == "leader":
+                self._pacer_flush(sid)
                 st.stream.put(
                     StreamItem(seq_id=sid, finished=True, finish_reason=reason)
                 )
@@ -240,6 +263,7 @@ class LLMEngine:
                 self._free_mamba(seq)
             st = self.requests.get(sid)
             if st is not None and self.mh_role == "leader":
+                self._pacer_flush(sid)
                 st.stream.put(
                     StreamItem(seq_id=sid, finished=True, finish_reason="abort")
                 )
@@ -289,6 +313,7 @@ class LLMEngine:
         logger.error("multi-host failure: %s — cancelling all requests", reason)
         self.mh_failed = reason
         self._running = False
+        self._pacer_flush()
         with self._lock:
             for st in self.requests.values():
                 if not st.seq.is_finished:
@@ -504,6 +529,7 @@ class LLMEngine:
         if seq is not None:
             self._free_mamba(seq)
         if seq is not None and st is not None:
+            self._pacer_flush(seq_id)
             st.stream.put(
                 StreamItem(seq_id=seq_id, finished=True, finish_reason="abort")
             )
@@ -577,17 +603,25 @@ class LLMEngine:
             tokens = self.runner.run_multi(batch, batch.n_steps)
         else:
             tokens = self.runner.run(batch)
+        step_s = time.time() - t_fwd
         self.step_timings.append(
-            (batch.kind, len(batch.seqs), batch.num_tokens * batch.n_steps,
-             time.time() - t_fwd)
+            (batch.kind, len(batch.seqs), batch.num_tokens * batch.n_steps, step_s)
         )
         if self.profiler is not None:
             self.profiler.on_step_end()
+        # pacing span: a decode burst is re-delivered across the NEXT step's
+        # duration; the just-measured step (same shape) is its best estimate
+        pace_span = (
+            step_s
+            if batch.kind == "decode"
+            and (batch.n_steps > 1 or batch.spec_k > 0 or batch.drafts is not None)
+            else 0.0
+        )
         with self._lock:
             emitted = self.scheduler.postprocess(batch, tokens)
             if self._mamba_pool is not None:
                 self._mamba_pool.after_step(batch)
-            self._deliver(emitted)
+            self._deliver(emitted, pace_span)
             self._maybe_log_throughput()
         return len(batch.seqs)
 
@@ -609,11 +643,33 @@ class LLMEngine:
         self._tp_last_time = now
         self._tp_last_tokens = self.total_output_tokens
 
-    def _deliver(self, emitted) -> None:
-        for seq, tok in emitted:
+    def _deliver(self, emitted, pace_span: float = 0.0) -> None:
+        pacing = self._pacing_active()
+        # sid → (queue, [StreamItem]) bursts, handed to the pacer after the
+        # loop; everything else (guidance commit, detok, stop strings,
+        # scheduler finishes) still runs here, on the engine thread
+        bursts: Dict[int, tuple] = {}
+
+        def put(st, item):
+            if pacing:
+                bursts.setdefault(item.seq_id, (st.stream, []))[1].append(item)
+            else:
+                st.stream.put(item)
+
+        # a multi-step burst's sequence is already state-finished when
+        # _deliver runs (postprocess finished it), so naively checking
+        # seq.is_finished would stamp finished=True on EVERY token of the
+        # final burst — a streaming client stops at the first one and loses
+        # up to k-1 tail tokens. Only the LAST emitted token of a finished
+        # sequence is the terminal item.
+        last_idx: Dict[int, int] = {}
+        for i, (seq, _t) in enumerate(emitted):
+            last_idx[seq.seq_id] = i
+        for i, (seq, tok) in enumerate(emitted):
             st = self.requests.get(seq.seq_id)
             if st is None:
                 continue
+            finishing = seq.is_finished and i == last_idx[seq.seq_id]
             self.total_output_tokens += 1
             g = getattr(seq, "guidance", None)
             if g is not None:  # commit into the grammar (runner.rs:336-372)
@@ -630,7 +686,7 @@ class LLMEngine:
             if st.stream_disabled and st.detok is None and not st.stop_strings:
                 # offline-batch fast path: counters/guidance above already
                 # ran; outputs are read from seq state by generate()
-                if seq.is_finished:
+                if finishing:
                     self._free_mamba(seq)
                 continue
             text = ""
@@ -657,13 +713,14 @@ class LLMEngine:
                             # marker; meanwhile suppress further deltas
                             st.mh_suppressed = True
                             self._mh_pending_finishes.append((seq.seq_id, "stop"))
-                            st.stream.put(
-                                StreamItem(seq_id=seq.seq_id, token_id=tok, text=text)
+                            put(
+                                st,
+                                StreamItem(seq_id=seq.seq_id, token_id=tok, text=text),
                             )
                             continue
                         self.scheduler.finish_seq(seq, FinishReason.STOP)
             item = StreamItem(seq_id=seq.seq_id, token_id=tok, text=text)
-            if seq.is_finished:
+            if finishing:
                 self._free_mamba(seq)
                 if st.detok is not None:
                     tail = st.detok.flush()
@@ -674,7 +731,11 @@ class LLMEngine:
                     seq.finish_reason.value if seq.finish_reason else None
                 )
             if self.mh_role != "follower":
-                st.stream.put(item)
+                put(st, item)
+        if pacing and bursts:
+            pacer = self._get_pacer()
+            for sid, (q, items) in bursts.items():
+                pacer.schedule(sid, q, items, pace_span)
 
     @staticmethod
     def _find_stop_string(st: _RequestState):
@@ -746,6 +807,7 @@ class LLMEngine:
                         time.sleep(0.005)  # idle (reference sleeps 20ms)
                 except Exception:  # pragma: no cover
                     logger.exception("engine loop error; cancelling active requests")
+                    self._pacer_flush()
                     with self._lock:
                         for st in self.requests.values():
                             if not st.seq.is_finished:
@@ -766,6 +828,9 @@ class LLMEngine:
         if self._loop_thread is not None:
             self._loop_thread.join(timeout=5)
             self._loop_thread = None
+        if self._pacer is not None:
+            self._pacer.stop()
+            self._pacer = None
 
     # ------------------------------------------------------------------
     # embeddings (reference LLMEngine::embed, engine.rs:1520)

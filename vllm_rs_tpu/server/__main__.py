@@ -41,6 +41,11 @@ def main() -> None:
                     help="tokens decoded per host sync (on-device loop); "
                     ">1 amortizes dispatch cost on high-RTT links at the "
                     "price of burstier streaming")
+    ap.add_argument("--stream-pacing", action="store_true",
+                    help="pace multi-step bursts across the next step's "
+                    "duration so streaming clients see smooth inter-token "
+                    "latency (~step/k) instead of k-token bursts; "
+                    "throughput unchanged")
     ap.add_argument("--yarn-scaling-factor", type=float, default=0.0,
                     help="override/install YaRN rope scaling: extends the "
                     "context to factor x the original length (reference "
@@ -112,6 +117,7 @@ def main() -> None:
         max_num_seqs=args.max_num_seqs,
         chunk_size=args.chunk_size,
         multi_step=args.multi_step,
+        stream_pacing=args.stream_pacing,
         kv_dtype=args.kv_dtype,
         num_blocks=args.num_blocks,
         tp_size=args.tp_size,
