@@ -182,7 +182,21 @@ def build(size: str, spec_k: int = 0):
         import dataclasses as _dc
 
         sched = _dc.replace(sched, spec_decode_k=spec_k)
-    econfig = EngineConfig(model=model, cache=cache, scheduler=sched, quant=quant)
+    # A/B hook: VLLM_RS_TPU_BUCKETS=legacy reverts to the pre-round-4
+    # prefill tier ladder (no 128/512 tiers) for same-day comparisons
+    import os as _os2
+
+    if _os2.environ.get("VLLM_RS_TPU_BUCKETS") == "legacy":
+        import dataclasses as _dc2
+
+        legacy = (16, 64, 256, 1024, 2048)
+        sched = _dc2.replace(sched, prefill_buckets=legacy)
+        econfig = EngineConfig(
+            model=model, cache=cache, scheduler=sched, quant=quant,
+            prefill_buckets=legacy,
+        )
+    else:
+        econfig = EngineConfig(model=model, cache=cache, scheduler=sched, quant=quant)
     m = CausalLM(model, block_size=cache.block_size)
     t0 = time.time()
     params = m.init_params(jax.random.PRNGKey(0), quant=quant, quant_group=128)
@@ -382,6 +396,71 @@ def _bench_spec(engine, size, *, spec_k, mode, prompt_tokens, decode_tokens, rs,
     }
 
 
+def _kernel_auto_ab():
+    """Same-day A/B of the opt-in/parked kernels (VERDICT r3 item 4): the
+    environment's perf regime drifts between rounds, so every bench day
+    re-races (a) single-row vs multi-row decode attention at the 0.6b
+    B=256 shape and (b) XLA page-gather vs the Pallas MLA decode kernel at
+    B=256, and reports which side won. Runs each side in a SUBPROCESS
+    (the jit cache would pin the first-traced backend in-process) BEFORE
+    this process initializes jax, so chip use stays serialized. Emits one
+    JSON line; VLLM_RS_TPU_SKIP_AB=1 skips."""
+    import os
+    import subprocess
+
+    if os.environ.get("VLLM_RS_TPU_SKIP_AB") == "1":
+        return
+
+    def run(cmd, env_extra):
+        env = dict(os.environ)
+        env.update(env_extra)
+        try:
+            out = subprocess.run(
+                [sys.executable] + cmd, capture_output=True, text=True,
+                env=env, timeout=2400,
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                return {"value": None, "error": (out.stderr or "")[-200:]}
+            return json.loads(lines[-1])
+        except Exception as e:  # the parked kernel may hit a runtime fault
+            return {"value": None, "error": str(e)[:200]}
+
+    bench06 = ["bench.py", "--size", "0.6b", "--batch", "256",
+               "--decode-tokens", "128"]
+    attn_single = run(bench06, {"VLLM_RS_TPU_ATTN_ROWS": "0"})
+    attn_multi = run(bench06, {"VLLM_RS_TPU_ATTN_ROWS": "4"})
+    mla = ["mla_lab.py", "--batch", "256", "--decode-tokens", "64"]
+    mla_gather = run(mla, {"VLLM_RS_TPU_MLA_BACKEND": "gather"})
+    mla_pallas = run(mla, {"VLLM_RS_TPU_MLA_BACKEND": "pallas"})
+
+    def win(a, b, an, bn):
+        if a.get("value") is None:
+            return bn
+        if b.get("value") is None:
+            return an
+        return an if a["value"] >= b["value"] else bn
+
+    print(json.dumps({
+        "metric": "kernel_auto_ab",
+        "value": 1,
+        "unit": "report",
+        "vs_baseline": 1,
+        "attn_single_row": attn_single.get("value"),
+        "attn_multirow4": attn_multi.get("value"),
+        "attn_winner": win(attn_single, attn_multi, "single", "multirow4"),
+        "mla_gather": mla_gather.get("value"),
+        "mla_pallas": mla_pallas.get("value"),
+        "mla_winner": win(mla_gather, mla_pallas, "gather", "pallas"),
+        "errors": {
+            k: v["error"]
+            for k, v in (("attn_single", attn_single), ("attn_multi", attn_multi),
+                         ("mla_gather", mla_gather), ("mla_pallas", mla_pallas))
+            if v.get("error")
+        },
+    }), flush=True)
+
+
 def _headline(args):
     """Default run: all three driver-auditable headline metrics —
     (a) 8B-int4 batch-1 decode, (b) 64-stream continuous-batching serving
@@ -393,6 +472,11 @@ def _headline(args):
     import numpy as np
 
     from bench_serving import serve_bench
+
+    # kernel auto-A/B first: its subprocesses need exclusive chip access,
+    # which is guaranteed only before this process creates its jax client
+    print("# headline 0: parked-kernel auto A/B", file=sys.stderr)
+    _kernel_auto_ab()
 
     rs = np.random.RandomState(0)
     engine = build("8b")

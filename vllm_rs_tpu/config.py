@@ -413,7 +413,7 @@ class SchedulerConfig:
     chunk_size: int = 2048
     # bucket tiers for padded prefill steps; a prefill batch is packed so
     # every row shares one tier T and rows * T stays near chunk_size
-    prefill_buckets: tuple = (16, 64, 256, 1024, 2048)
+    prefill_buckets: tuple = (16, 64, 128, 256, 512, 1024, 2048)
     max_model_len: int = 8192
     # prefill/decode interleave fairness: after this many consecutive prefill
     # steps with decodes waiting, force a decode step (scheduler.rs:250-282)
@@ -458,7 +458,7 @@ class EngineConfig:
     # data-parallel size (mesh "data" axis)
     dp_size: int = 1
     # token bucket sizes for prefill steps (padded; one compile per bucket)
-    prefill_buckets: tuple = (16, 64, 256, 1024, 2048)
+    prefill_buckets: tuple = (16, 64, 128, 256, 512, 1024, 2048)
     # batch buckets for decode steps
     decode_buckets: tuple = (8, 16, 32, 64)
     seed: int = 0

@@ -73,9 +73,41 @@ _ACT = {
 }
 
 
+def _fused_mlp_enabled() -> bool:
+    import os
+
+    return os.environ.get("VLLM_RS_TPU_FUSED_MLP", "0") == "1"
+
+
 def mlp(lp: dict, h: jax.Array, act: str = "silu") -> jax.Array:
     """Gated MLP: down(act(gate(h)) * up(h)) (reference mlp.rs). A fused
-    "gate_up" weight [D, 2I] halves launches + activation quants."""
+    "gate_up" weight [D, 2I] halves launches + activation quants.
+
+    VLLM_RS_TPU_FUSED_MLP=1 (experiment; accepted only via same-day
+    bench.py A/B — repo rule): int4 decode batches additionally fuse the
+    gate_up and down matmuls into ONE pallas launch with the [M, I]
+    intermediate resident in VMEM (ops/pallas/fused_mlp.py)."""
+    if (
+        _fused_mlp_enabled()
+        and "gate_up" in lp
+        and isinstance(lp["gate_up"], PackedInt4Tensor)
+        and isinstance(lp.get("down"), PackedInt4Tensor)
+    ):
+        from vllm_rs_tpu.ops.pallas.fused_mlp import (
+            fused_mlp_int4_a8,
+            fused_mlp_supported,
+        )
+
+        lead = h.shape[:-1]
+        x2 = h.reshape(-1, h.shape[-1])
+        gup, down = lp["gate_up"], lp["down"]
+        interpret = jax.default_backend() != "tpu"
+        if fused_mlp_supported(gup, down, x2.shape[0], act, interpret):
+            y = fused_mlp_int4_a8(
+                x2, gup.qweight, gup.scales, down.qweight, down.scales,
+                act=act, interpret=interpret,
+            )
+            return y.reshape(*lead, y.shape[-1]).astype(h.dtype)
     if "gate_up" in lp:
         gu = linear(lp["gate_up"], h)
         gate, up = jnp.split(gu, 2, axis=-1)
