@@ -144,7 +144,7 @@ def patch_no_prefill_write():
     import vllm_rs_tpu.ops.attention as am
 
     orig = am.write_kv_layer
-    am.write_kv_layer = lambda kv_l, k, v, slots: kv_l
+    am.write_kv_layer = lambda kv_l, k, v, slots, **kw: kv_l
     return lambda: setattr(am, "write_kv_layer", orig)
 
 

@@ -56,7 +56,7 @@ def _fused_mlp_kernel(
     xs_ref, x_ref,
     wg_a, wg_b, wu_a, wu_b,
     sg_a, sg_b, su_a, su_b,
-    wd_ref, sd_a, sd_b,
+    wd_ref, sd_ref,
     out_ref, acc_ref,
     *, n_p: int, group: int, d_half: int, gelu: bool,
 ):
@@ -117,6 +117,11 @@ def _fused_mlp_kernel(
     d_hi = (w32 >> 4).astype(jnp.int8)  # down rows B (= A + I/2)
     bc = d_lo.shape[0]
     n_g2 = bc // group
+    # down scales ride as the FULL [I/G, D] array resident in VMEM (a
+    # (BC/G, D) stripe block can violate Mosaic's sublane-divisibility
+    # rule when BC/G < 8); rows are indexed dynamically per grid step
+    half_groups = sd_ref.shape[0] // 2
+    row0 = p * n_g2
     parts = []
     for g in range(n_g2):
         sl = slice(g * group, (g + 1) * group)
@@ -128,9 +133,11 @@ def _fused_mlp_kernel(
             hq_b[:, sl], d_hi[sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
+        sd_a = sd_ref[row0 + g]
+        sd_b = sd_ref[half_groups + row0 + g]
         parts.append(
-            p_a.astype(jnp.float32) * (sd_a[g] * sh_a)
-            + p_b.astype(jnp.float32) * (sd_b[g] * sh_b)
+            p_a.astype(jnp.float32) * (sd_a * sh_a)
+            + p_b.astype(jnp.float32) * (sd_b * sh_b)
         )
     acc_ref[...] = acc_ref[...] + _tree_sum(parts)
 
@@ -151,8 +158,8 @@ def _pick_bc(D: int, I: int, G: int, M: int) -> int:
             4 * (D // 2) * bc  # gate/up tiles (packed int8)
             + bc * D  # down stripe (packed int8)
             + 4 * (D // G) * bc * 4  # stage-1 scale stripes (f32)
-            + 2 * (bc // G) * D * 4  # stage-2 scale stripes (f32)
-        ) + M * D * 4 + M * D * 2 + M * D  # acc + out + x
+        ) + (I // G) * D * 4  # full down scales, resident
+        vmem += M * D * 4 + M * D * 2 + M * D  # acc + out + x
         if vmem <= 8 * 2**20:
             best = bc
         else:
@@ -211,9 +218,6 @@ def fused_mlp_int4_a8(
     sspec1 = lambda off: pl.BlockSpec(  # noqa: E731
         (D // G, BC), lambda p, o=off: (0, p + o)
     )
-    sspec2 = lambda off: pl.BlockSpec(  # noqa: E731
-        (BC // G, D), lambda p, o=off: (p + o, 0)
-    )
 
     out = pl.pallas_call(
         functools.partial(
@@ -227,7 +231,7 @@ def fused_mlp_int4_a8(
             wspec(0), wspec(off_gb), wspec(off_ua), wspec(off_ub),
             sspec1(0), sspec1(off_gb), sspec1(off_ua), sspec1(off_ub),
             pl.BlockSpec((BC, D), lambda p: (p, 0)),  # down stripe
-            sspec2(0), sspec2(off_gb),
+            pl.BlockSpec((I // G, D), lambda p: (0, 0)),  # down scales, full
         ],
         out_specs=pl.BlockSpec((BM, D), lambda p: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((Mp, D), out_dtype),
@@ -250,6 +254,6 @@ def fused_mlp_int4_a8(
         xs.astype(jnp.float32), xq,
         gup_q, gup_q, gup_q, gup_q,
         gup_s, gup_s, gup_s, gup_s,
-        down_q, down_s, down_s,
+        down_q, down_s,
     )
     return out[:M] if Mp != M else out

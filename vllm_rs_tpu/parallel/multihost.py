@@ -152,22 +152,27 @@ class StepFeed:
         while True:
             try:
                 conn, _ = self._srv.accept()
-                conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-                # Bound SENDS only (SO_SNDTIMEO, not settimeout — the reader
-                # thread's recv must stay blocking): a follower that is frozen
-                # but keeps its TCP connection alive (stuck in a device call,
-                # recv buffer full) would otherwise block publish() — and with
-                # it the leader's engine thread, where check_liveness runs —
-                # forever, so the heartbeat fail-fast never fired for this
-                # failure mode (advisor r3 finding).
-                t = mh_timeout_s()
+            except OSError:
+                return
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            # Bound SENDS only (SO_SNDTIMEO, not settimeout — the reader
+            # thread's recv must stay blocking): a follower that is frozen
+            # but keeps its TCP connection alive (stuck in a device call,
+            # recv buffer full) would otherwise block publish() — and with
+            # it the leader's engine thread, where check_liveness runs —
+            # forever, so the heartbeat fail-fast never fired for this
+            # failure mode (advisor r3 finding). struct timeval on LP64
+            # Linux is two native longs ("@qq"); "<LL" (8 bytes) gets
+            # EINVAL — and an exception here must not kill the accept loop.
+            t = mh_timeout_s()
+            try:
                 conn.setsockopt(
                     socket.SOL_SOCKET,
                     socket.SO_SNDTIMEO,
-                    struct.pack("<LL", int(t), int((t % 1.0) * 1e6)),
+                    struct.pack("@qq", int(t), int((t % 1.0) * 1e6)),
                 )
-            except OSError:
-                return
+            except OSError:  # pragma: no cover - platform-specific
+                pass  # unbounded sends degrade to the pre-timeout behavior
             with self._lock:
                 self._followers.append(conn)
                 self._last_heard[conn] = time.monotonic()
