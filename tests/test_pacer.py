@@ -199,3 +199,26 @@ class TestEnginePacing:
             assert all(not it.finished for it in items[:-1])
         finally:
             engine.stop_loop()
+
+
+class TestRamp:
+    def test_multistep_ramp_under_pacing(self):
+        """stream_pacing ramps k with the youngest stream's output length
+        (power-of-two ladder) so a fresh stream's first gaps are small
+        steps; without pacing k jumps straight to the configured value."""
+        for pacing, expected_first in ((True, [2, 4, 8]), (False, [8, 8])):
+            engine = _engine(8, pacing=pacing)
+            engine.schedule_trace = []
+            engine.generate(
+                [[5, 6, 7]],
+                SamplingParams(temperature=0.0, max_tokens=15, ignore_eos=True),
+            )
+            ks = [t[4] for t in engine.schedule_trace if t[1] == "decode"]
+            assert ks[: len(expected_first)] == expected_first, (pacing, ks)
+
+    def test_ramp_preserves_tokens(self):
+        prompt = [9, 8, 7]
+        sp = SamplingParams(temperature=0.0, max_tokens=21, ignore_eos=True)
+        ref = _engine(1, pacing=False).generate([prompt], sp)[0].output_token_ids
+        got = _engine(8, pacing=True).generate([prompt], sp)[0].output_token_ids
+        assert got == ref

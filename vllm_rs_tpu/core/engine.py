@@ -609,18 +609,27 @@ class LLMEngine:
         )
         if self.profiler is not None:
             self.profiler.on_step_end()
-        # pacing span: a decode burst is re-delivered across the NEXT step's
-        # duration; the just-measured step (same shape) is its best estimate
-        pace_span = (
-            step_s
-            if batch.kind == "decode"
-            and (batch.n_steps > 1 or batch.spec_k > 0 or batch.drafts is not None)
-            else 0.0
-        )
         with self._lock:
             emitted = self.scheduler.postprocess(batch, tokens)
             if self._mamba_pool is not None:
                 self._mamba_pool.after_step(batch)
+            # pacing span: a decode burst is re-delivered across the NEXT
+            # step's duration. The just-measured step estimates it, scaled
+            # by the next step's k (the stream-pacing ramp doubles k early
+            # on — pacing a k-burst over a k-step span while the next step
+            # takes 2k would run the pacer dry half-way every transition)
+            pace_span = 0.0
+            if (
+                batch.kind == "decode"
+                and (batch.n_steps > 1 or batch.spec_k > 0 or batch.drafts is not None)
+                and self._pacing_active()
+            ):
+                nxt = (
+                    self.scheduler._decode_steps()
+                    if self.scheduler.running
+                    else batch.n_steps
+                )
+                pace_span = step_s * nxt / max(batch.n_steps, 1)
             self._deliver(emitted, pace_span)
             self._maybe_log_throughput()
         return len(batch.seqs)

@@ -44,10 +44,10 @@ from typing import Deque, Dict, List, Optional, Tuple
 # exists to meet); a span estimate degenerate enough to exceed it per
 # token just delivers faster than planned
 MAX_INTERVAL_S = 0.2
-# fraction of the measured step duration to spread a burst across: finish
-# slightly early so the next burst (which flushes leftovers) rarely finds
-# any, keeping delivery smooth rather than sawtoothed
-SPAN_FRACTION = 0.9
+# fraction of the estimated next-step duration to spread a burst across:
+# exactly the generation rate — undershooting re-creates a tail gap every
+# burst, overshooting is self-corrected by the new burst's leftover flush
+SPAN_FRACTION = 1.0
 
 
 class StreamPacer:

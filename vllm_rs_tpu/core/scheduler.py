@@ -181,6 +181,15 @@ class Scheduler:
         k = self.config.multi_step_decode
         if k <= 1:
             return 1
+        if self.config.stream_pacing:
+            # streaming mode: ramp k with the youngest stream's output so a
+            # fresh stream's first inter-token gap is a small step, not a
+            # full k-burst (the one gap delivery pacing cannot hide — the
+            # token genuinely doesn't exist until the step completes).
+            # Power-of-two ladder keeps the compile set bounded; the warmup
+            # burst (2k+1 tokens) covers every rung.
+            youngest = min(len(s.output_token_ids) for s in self.running)
+            k = min(k, max(youngest + 1, 1))
         for seq in self.running:
             sp = seq.sampling_params
             if seq.guidance is not None or sp.stop:
