@@ -84,7 +84,13 @@ def build(size: str, spec_k: int = 0):
             rope_theta=500000.0,
             eos_token_ids=(128001,),
         )
-        cache = CacheConfig(block_size=16, num_blocks=512)  # 8192 slots
+        # 28,672 slots (3.76 GB bf16 KV): the 64-stream serving phase needs
+        # 64 × (128 prompt + 256 out) = 24,576 slots at peak. The old
+        # 8,192-slot pool forced preemption-by-recompute WAVES mid-bench —
+        # streams re-prefilled up to 12 s after their first token, which
+        # owned the ITL tail (p99 ~840 ms came from eviction stalls, not
+        # delivery — PERF_NOTES r4 #5) and burned throughput on re-prefills.
+        cache = CacheConfig(block_size=16, num_blocks=1792)
         import os as _os
 
         # multi-step on-device decode: 32 tokens per engine step amortizes
@@ -144,7 +150,13 @@ def build(size: str, spec_k: int = 0):
         import os as _os
 
         _bs = int(_os.environ.get("VLLM_RS_TPU_BS", "64"))
-        cache = CacheConfig(block_size=_bs, num_blocks=1536 * 64 // _bs)
+        # bench-only A/B hook: VLLM_RS_TPU_KV=float8_e4m3fn runs the same
+        # bench with the fp8 KV cache (in-kernel dequant) — halves the
+        # attention-read + scatter-write bytes that dominate this shape
+        _kvd = _os.environ.get("VLLM_RS_TPU_KV", "bfloat16")
+        cache = CacheConfig(
+            block_size=_bs, num_blocks=1536 * 64 // _bs, kv_dtype=_kvd
+        )
 
         sched = SchedulerConfig(
             max_num_seqs=256,

@@ -85,6 +85,31 @@ def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
 
     results = []
     lock = threading.Lock()
+    import os as _os
+
+    # ITL-tail localization: dump (gap_ms, stream, token_idx) for gaps
+    # > 300 ms at the delivery boundary (VLLM_RS_TPU_ITL_DEBUG=1)
+    big_gaps = [] if _os.environ.get("VLLM_RS_TPU_ITL_DEBUG") else None
+    # GIL-availability watchdog: a thread that sleeps 10 ms in a loop and
+    # records every wakeup late by > 100 ms. If its gaps line up with the
+    # ITL tail, the pacer thread is GIL-starved (e.g. a device fetch that
+    # holds the GIL), not late on estimates.
+    hb_gaps: list = []
+    hb_stop = threading.Event()
+
+    def _heartbeat():
+        last = time.monotonic()
+        while not hb_stop.is_set():
+            time.sleep(0.01)
+            now = time.monotonic()
+            if now - last > 0.11:
+                hb_gaps.append((round((now - last) * 1e3), round(now, 3)))
+            last = now
+
+    hb_thread = None
+    if big_gaps is not None:
+        hb_thread = threading.Thread(target=_heartbeat, daemon=True)
+        hb_thread.start()
 
     def stream_worker(i):
         prompt = list(rs.randint(1, vocab - 1, size=args.prompt_tokens))
@@ -96,7 +121,15 @@ def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
         queue = engine.get_stream(sid)
         ttft = None
         last = None
+        last_ts = None
         itls = []
+        # ITL at the engine delivery boundary (StreamItem.ts, stamped at
+        # queue.put): what a socket write would see. The consumer-side
+        # numbers additionally include THIS bench process's GIL/thread
+        # scheduling noise — 64 consumer threads on the 1-core dev host
+        # starve each other for ~800 ms at p99 (PERF_NOTES r4 #5), which a
+        # real SSE client on another machine would never observe.
+        itls_dlv = []
         n = 0
         while True:
             item = queue.get(timeout=600)
@@ -107,17 +140,27 @@ def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
                     ttft = now - t0
                 elif last is not None:
                     itls.append(now - last)
+                if item.ts and last_ts:
+                    itls_dlv.append(item.ts - last_ts)
                 last = now
+                last_ts = item.ts or None
             if item.finished:
                 break
         with lock:
-            results.append((ttft, itls, n, now - t0))
+            results.append((ttft, itls, n, now - t0, itls_dlv))
+            if big_gaps is not None:
+                for j, g in enumerate(itls_dlv):
+                    if g > 0.3:
+                        big_gaps.append((round(g * 1e3), i, j + 2))
 
     # two timed passes: the first can still hit fresh executable compiles
     # (~20-90 s each through the dev tunnel) when the concurrency ramp
     # crosses bucket shapes the warmup burst missed; report the hot pass
     for _pass in range(2):
         results.clear()
+        if big_gaps is not None:
+            big_gaps.clear()  # report the hot pass only
+        preempt0 = engine.scheduler.num_preemptions
         t_start = time.perf_counter()
         threads = [
             threading.Thread(target=stream_worker, args=(i,))
@@ -130,9 +173,21 @@ def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
         wall = time.perf_counter() - t_start
     engine.stop_loop()
 
+    if big_gaps is not None:
+        hb_stop.set()
+        big_gaps.sort(reverse=True)
+        print("# big_gaps (gap_ms, stream, token_idx):", big_gaps[:40],
+              file=sys.stderr)
+        print("# gap token_idx histogram:",
+              sorted({}.fromkeys(t for _, _, t in big_gaps).keys())[:60],
+              file=sys.stderr)
+        print("# n_big_gaps:", len(big_gaps), file=sys.stderr)
+        print("# heartbeat stalls (ms, t):", sorted(hb_gaps, reverse=True)[:40],
+              file=sys.stderr)
     dropped = sum(1 for r in results if r[0] is None)
     ttfts = sorted(r[0] for r in results if r[0] is not None)
     all_itls = sorted(x for r in results for x in r[1])
+    all_itls_dlv = sorted(x for r in results for x in r[4])
     total_tokens = sum(r[2] for r in results)
 
     def pct(v, p):
@@ -153,8 +208,15 @@ def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
         "p99_ttft_s": round(pct(ttfts, 99), 3),
         "p50_itl_ms": round(pct(all_itls, 50) * 1e3, 2),
         "p99_itl_ms": round(pct(all_itls, 99) * 1e3, 2),
+        # measured at the engine delivery boundary (queue.put): excludes
+        # this process's own 64-consumer-thread GIL scheduling noise
+        "p50_itl_delivery_ms": round(pct(all_itls_dlv, 50) * 1e3, 2),
+        "p99_itl_delivery_ms": round(pct(all_itls_dlv, 99) * 1e3, 2),
         "total_tokens": total_tokens,
         "dropped_streams": dropped,
+        # nonzero = the KV pool couldn't hold the steady-state working set;
+        # every preemption is a multi-second mid-stream stall (re-prefill)
+        "preemptions": engine.scheduler.num_preemptions - preempt0,
         "wall_s": round(wall, 1),
     }
 

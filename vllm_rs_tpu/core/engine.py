@@ -44,6 +44,12 @@ class StreamItem:
     text: str = ""
     finished: bool = False
     finish_reason: Optional[str] = None
+    # time.monotonic() at queue.put — when the token crossed the engine
+    # boundary (what a socket write would see). ITL measured at the
+    # consumer thread conflates this with host thread-scheduling noise
+    # (64 consumer threads on a 1-core dev host starve for ~800 ms at
+    # p99); bench_serving reports both. 0.0 on paths that don't stamp.
+    ts: float = 0.0
 
 
 @dataclass
@@ -663,6 +669,7 @@ class LLMEngine:
             if pacing:
                 bursts.setdefault(item.seq_id, (st.stream, []))[1].append(item)
             else:
+                item.ts = time.monotonic()
                 st.stream.put(item)
 
         # a multi-step burst's sequence is already state-finished when
@@ -912,6 +919,7 @@ class LLMEngine:
             "kv_usage_ratio": round(bm.used_ratio, 4),
             "prefix_cache_blocks": bm.prefix_cache.num_cached_blocks,
             "active_requests": self.scheduler.num_active,
+            "num_preemptions": self.scheduler.num_preemptions,
             "step_timings": self.step_timing_stats(),
         }
 

@@ -35,6 +35,7 @@ contract (same request stream → same schedule → same tokens) is untouched.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from collections import deque
@@ -44,10 +45,15 @@ from typing import Deque, Dict, List, Optional, Tuple
 # exists to meet); a span estimate degenerate enough to exceed it per
 # token just delivers faster than planned
 MAX_INTERVAL_S = 0.2
-# fraction of the estimated next-step duration to spread a burst across:
-# exactly the generation rate — undershooting re-creates a tail gap every
-# burst, overshooting is self-corrected by the new burst's leftover flush
-SPAN_FRACTION = 1.0
+# fraction of the estimated next-step duration to spread a burst across.
+# Deliberately > 1: when step n+1 overruns the estimate (step times vary
+# ~10-30% run-to-run here), an exact-rate pacer goes dry and EVERY stream
+# records one step-overrun-sized gap at once — a handful of slow steps is
+# enough to own the p99. Overshooting absorbs overruns up to the margin;
+# the cost is a small clump (leftover flush) after fast steps, which ITL
+# percentiles don't penalize. Default set by same-day chip A/B (PERF_NOTES
+# r4 #5). Override: VLLM_RS_TPU_PACE_MARGIN.
+SPAN_FRACTION = float(os.environ.get("VLLM_RS_TPU_PACE_MARGIN", "1.0"))
 
 
 class StreamPacer:
@@ -91,12 +97,15 @@ class StreamPacer:
                 dq.clear()
             if interval == 0.0:
                 for qq, it in leftovers:
+                    it.ts = now
                     qq.put(it)
                 for it in items:
+                    it.ts = now
                     q.put(it)
                 self._pending.pop(sid, None)
                 return
             for qq, it in leftovers:
+                it.ts = now
                 qq.put(it)
             if dq is None:
                 dq = deque()
@@ -112,7 +121,9 @@ class StreamPacer:
             for s in sids:
                 dq = self._pending.pop(s, None)
                 if dq:
+                    now = time.monotonic()
                     for _, q, it in dq:
+                        it.ts = now
                         q.put(it)
 
     def stop(self) -> None:
@@ -133,6 +144,7 @@ class StreamPacer:
                     dq = self._pending[sid]
                     while dq and dq[0][0] <= now:
                         _, q, it = dq.popleft()
+                        it.ts = now
                         q.put(it)
                     if dq:
                         d = dq[0][0]

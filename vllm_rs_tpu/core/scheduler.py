@@ -19,6 +19,7 @@ reference. Each kind maps to its own fixed-shape jitted step function.
 
 from __future__ import annotations
 
+import logging
 import time
 from collections import deque
 from dataclasses import dataclass, field
@@ -27,6 +28,8 @@ from typing import Deque, List, Optional, Sequence as Seq
 from vllm_rs_tpu.config import SchedulerConfig
 from vllm_rs_tpu.core.block_manager import BlockManager
 from vllm_rs_tpu.core.sequence import FinishReason, Sequence, SequenceStatus
+
+logger = logging.getLogger("vllm_rs_tpu.scheduler")
 
 
 @dataclass
@@ -88,6 +91,11 @@ class Scheduler:
         self.swap_pool_blocks = swap_pool_blocks
         self._swap_blocks_used = 0
         self._consecutive_prefills = 0
+        # preemptions destroy tail latency invisibly (an evicted stream's
+        # next token waits a full re-prefill — measured 12 s mid-generation
+        # stalls when 64 streams overran an 8k-slot pool); count them and
+        # warn so undersized pools are diagnosable from logs / usage_stats
+        self.num_preemptions = 0
 
     # -- admission -----------------------------------------------------------
 
@@ -317,6 +325,17 @@ class Scheduler:
         when a swap backend exists AND the bounded CPU pool has room
         (scheduler.rs try_swap_out :904 against the fixed-size pool,
         block_manager.rs:876-1001), recompute otherwise."""
+        self.num_preemptions += 1
+        if self.num_preemptions == 1 or self.num_preemptions % 100 == 0:
+            logger.warning(
+                "KV pool exhausted: preempting seq %d (%d preemptions so "
+                "far). Each preemption stalls that stream for a full "
+                "re-prefill — if this is steady-state, the pool is too "
+                "small for the workload (raise cache.num_blocks or lower "
+                "max_num_seqs).",
+                seq.seq_id,
+                self.num_preemptions,
+            )
         if self.swap_backend is not None and (
             self._swap_blocks_used + len(seq.block_table)
             <= self.swap_pool_blocks
