@@ -319,13 +319,18 @@ class LLMEngine:
         logger.error("multi-host failure: %s — cancelling all requests", reason)
         self.mh_failed = reason
         self._running = False
-        self._pacer_flush()
         with self._lock:
+            # per-sid pacer flush INSIDE the lock, right before each
+            # terminal put: _mh_fail can run on a feed/reader thread while
+            # the engine thread is inside _deliver — a global flush before
+            # the lock would let a burst scheduled after it deliver tokens
+            # AFTER the terminal item (round-4 advisor finding)
             for st in self.requests.values():
                 if not st.seq.is_finished:
                     seq = self.scheduler.abort(st.seq.seq_id)
                     if seq is not None:
                         self._free_mamba(seq)
+                    self._pacer_flush(st.seq.seq_id)
                     st.stream.put(
                         StreamItem(
                             seq_id=st.seq.seq_id,
@@ -631,7 +636,7 @@ class LLMEngine:
                 and self._pacing_active()
             ):
                 nxt = (
-                    self.scheduler._decode_steps()
+                    self.scheduler._decode_steps(self.scheduler.running)
                     if self.scheduler.running
                     else batch.n_steps
                 )
@@ -681,11 +686,16 @@ class LLMEngine:
         last_idx: Dict[int, int] = {}
         for i, (seq, _t) in enumerate(emitted):
             last_idx[seq.seq_id] = i
+        # sids finished by a stop-string match mid-burst: their remaining
+        # burst tokens are overshoot (multi-step ran k tokens ahead; the
+        # reference's per-token loop never generates them) and are dropped
+        stopped: set = set()
         for i, (seq, tok) in enumerate(emitted):
             st = self.requests.get(seq.seq_id)
-            if st is None:
+            if st is None or seq.seq_id in stopped:
                 continue
             finishing = seq.is_finished and i == last_idx[seq.seq_id]
+            stop_hit = False
             self.total_output_tokens += 1
             g = getattr(seq, "guidance", None)
             if g is not None:  # commit into the grammar (runner.rs:336-372)
@@ -734,11 +744,28 @@ class LLMEngine:
                                 StreamItem(seq_id=seq.seq_id, token_id=tok, text=text),
                             )
                             continue
+                        # drop this burst's overshoot tokens from the seq
+                        # BEFORE finish_seq caches its blocks, so the prefix
+                        # cache hashes exactly the tokens a client sees
+                        overshoot = sum(
+                            1 for s2, _ in emitted[i + 1:] if s2.seq_id == seq.seq_id
+                        )
+                        if overshoot:
+                            del seq.output_token_ids[-overshoot:]
+                        stopped.add(seq.seq_id)
                         self.scheduler.finish_seq(seq, FinishReason.STOP)
+                        # the match IS the finish: deliver the terminal item
+                        # now (a streaming client must always receive
+                        # finished=True — regression: stop-string finishes
+                        # previously never emitted one and SSE clients hung)
+                        stop_hit = True
+                        finishing = True
             item = StreamItem(seq_id=seq.seq_id, token_id=tok, text=text)
             if finishing:
                 self._free_mamba(seq)
-                if st.detok is not None:
+                if st.detok is not None and not stop_hit:
+                    # (stop finishes skip the tail flush: the pending detok
+                    # buffer is text past the trimmed match)
                     tail = st.detok.flush()
                     st.text += tail
                     item.text += tail
@@ -823,11 +850,11 @@ class LLMEngine:
                         time.sleep(0.005)  # idle (reference sleeps 20ms)
                 except Exception:  # pragma: no cover
                     logger.exception("engine loop error; cancelling active requests")
-                    self._pacer_flush()
                     with self._lock:
                         for st in self.requests.values():
                             if not st.seq.is_finished:
                                 self.scheduler.abort(st.seq.seq_id)
+                                self._pacer_flush(st.seq.seq_id)
                                 st.stream.put(
                                     StreamItem(
                                         seq_id=st.seq.seq_id,

@@ -46,13 +46,13 @@ from typing import Deque, Dict, List, Optional, Tuple
 # token just delivers faster than planned
 MAX_INTERVAL_S = 0.2
 # fraction of the estimated next-step duration to spread a burst across.
-# Deliberately > 1: when step n+1 overruns the estimate (step times vary
-# ~10-30% run-to-run here), an exact-rate pacer goes dry and EVERY stream
-# records one step-overrun-sized gap at once — a handful of slow steps is
-# enough to own the p99. Overshooting absorbs overruns up to the margin;
-# the cost is a small clump (leftover flush) after fast steps, which ITL
-# percentiles don't penalize. Default set by same-day chip A/B (PERF_NOTES
-# r4 #5). Override: VLLM_RS_TPU_PACE_MARGIN.
+# 1.0 = exact-rate delivery. A margin > 1 absorbs step-time overruns (an
+# exact-rate pacer goes dry when step n+1 runs long, and every stream
+# records the overrun as one gap), at the cost of a leftover clump after
+# fast steps. The round-4 ITL tail that motivated a margin turned out to
+# be KV-pool preemption, not pacing (PERF_NOTES r4 #5): once the pool was
+# sized, margins 1.0 and 1.5 measured inside noise of each other, so the
+# default stays at exact-rate 1.0. Override: VLLM_RS_TPU_PACE_MARGIN.
 SPAN_FRACTION = float(os.environ.get("VLLM_RS_TPU_PACE_MARGIN", "1.0"))
 
 
