@@ -221,6 +221,129 @@ def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
     }
 
 
+def poisson_bench(engine, *, capacity_tps, utilization=0.8, multi_step=32,
+                  chunk_size=8192, duration_s=45.0, warmup_s=12.0,
+                  baseline=120.74, seed=1):
+    """Steady-state serving bench (VERDICT r4 item 8): Poisson arrivals at
+    `utilization` × the measured max throughput, mixed prompt/output
+    lengths, stream pacing on. The simultaneous-arrival bench above
+    measures one admission wave (identical prompts, one prefill burst);
+    this is the regime a server actually lives in — staggered admissions
+    into a warm engine — where admission pathologies (KV-preemption waves,
+    multi-step ramp collapse) actually show. Streams arriving during the
+    warmup window are excluded from the percentiles."""
+    import dataclasses
+
+    from vllm_rs_tpu.config import SamplingParams
+
+    engine.econfig = dataclasses.replace(
+        engine.econfig,
+        scheduler=dataclasses.replace(
+            engine.econfig.scheduler,
+            max_num_seqs=64,
+            multi_step_decode=multi_step,
+            chunk_size=chunk_size,
+            stream_pacing=True,
+        ),
+    )
+    engine.scheduler.config = engine.econfig.scheduler
+    with engine._lock:
+        engine.block_manager.reset()
+    vocab = engine.econfig.model.vocab_size
+    rs = np.random.RandomState(seed)
+    # length mix (means: prompt ~179, output ~131) — four prefill tiers and
+    # several decode row-buckets get exercised, unlike the fixed-128 wave
+    p_lens, p_probs = [64, 128, 256, 512], [0.30, 0.35, 0.25, 0.10]
+    o_lens, o_probs = [32, 128, 256], [0.30, 0.45, 0.25]
+    mean_out = float(np.dot(o_lens, o_probs))
+    rate = utilization * capacity_tps / mean_out  # arrivals/s
+    lock = threading.Lock()
+
+    def run_pass(pass_duration, max_arrivals):
+        results = []  # (arrival_t, ttft, itls_dlv, n_tokens, finished_t)
+        t0 = time.perf_counter()
+
+        def stream_worker(plen, olen, t_arr):
+            prompt = list(rs.randint(1, vocab - 1, size=plen))
+            sid = engine.add_request(
+                prompt,
+                SamplingParams(temperature=0.0, max_tokens=olen, ignore_eos=True),
+            )
+            q = engine.get_stream(sid)
+            ttft = None
+            last_ts = None
+            itls = []
+            n = 0
+            while True:
+                item = q.get(timeout=600)
+                if item.token_id is not None:
+                    n += 1
+                    now = time.perf_counter()
+                    if ttft is None:
+                        ttft = now - t_arr
+                    if item.ts and last_ts:
+                        itls.append(item.ts - last_ts)
+                    last_ts = item.ts or None
+                if item.finished:
+                    break
+            with lock:
+                results.append(
+                    (t_arr - t0, ttft, itls, n, time.perf_counter() - t0)
+                )
+
+        threads = []
+        deadline = t0 + pass_duration
+        while time.perf_counter() < deadline and len(threads) < max_arrivals:
+            time.sleep(rs.exponential(1.0 / rate))
+            plen = int(rs.choice(p_lens, p=p_probs))
+            olen = int(rs.choice(o_lens, p=o_probs))
+            t = threading.Thread(
+                target=stream_worker, args=(plen, olen, time.perf_counter())
+            )
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
+        return results
+
+    engine.start_loop()
+    # warm pass (discarded): the length mix crosses prefill tiers and
+    # decode row/k buckets the wave bench never compiled — first-visit
+    # executables cost 20-90 s each through the dev tunnel and would
+    # otherwise own every percentile of the measured pass
+    run_pass(warmup_s, 256)
+    preempt0 = engine.scheduler.num_preemptions
+    meas = run_pass(duration_s, 512)
+    engine.stop_loop()
+
+    ttfts = sorted(r[1] for r in meas if r[1] is not None)
+    itls = sorted(x for r in meas for x in r[2])
+    total_tokens = sum(r[3] for r in meas)
+    span = (
+        max(r[4] for r in meas) - min(r[0] for r in meas) if meas else 1.0
+    )
+
+    def pct(v, p):
+        return v[min(int(len(v) * p / 100), len(v) - 1)] if v else 0.0
+
+    return {
+        "metric": "serving_poisson_steady_state_tokens_per_sec",
+        "value": round(total_tokens / span, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(total_tokens / span / baseline, 4),
+        "offered_tps": round(rate * mean_out, 1),
+        "utilization_target": utilization,
+        "arrival_rate_per_s": round(rate, 2),
+        "streams": len(meas),
+        "p50_ttft_s": round(pct(ttfts, 50), 3),
+        "p99_ttft_s": round(pct(ttfts, 99), 3),
+        "p50_itl_delivery_ms": round(pct(itls, 50) * 1e3, 2),
+        "p99_itl_delivery_ms": round(pct(itls, 99) * 1e3, 2),
+        "preemptions": engine.scheduler.num_preemptions - preempt0,
+        "wall_s": round(span, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="8b", choices=["tiny", "0.6b", "3b", "8b"])
