@@ -205,3 +205,26 @@ class TestFp8Planner:
         # integer division of the usable budget: within 1 of exactly 2x
         assert abs(fp8.num_blocks - 2 * bf16.num_blocks) <= 1
         assert fp8.kv_dtype == "float8_e4m3fn"
+
+
+def test_to_bf16_bit_twiddle_matches_ieee_for_normals():
+    """The fp8-e4m3 -> bf16 integer bit-twiddle (to_bf16) must agree with
+    the IEEE convert on every normal bit pattern and +-0; only the 14
+    subnormal patterns (|x| < 2^-6, far below KV magnitudes) and NaN may
+    differ (documented tradeoff for the cheap VPU lowering)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vllm_rs_tpu.ops.pallas.paged_attention import to_bf16
+
+    bits = np.arange(256, dtype=np.uint8)
+    x = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.float8_e4m3fn)
+    ref = np.asarray(x.astype(jnp.bfloat16), dtype=np.float32)
+    got = np.asarray(to_bf16(x), dtype=np.float32)
+    subnormal = (bits & 0x78 == 0) & (bits & 0x07 != 0)
+    nan = (bits & 0x7F) == 0x7F
+    exact = ~(subnormal | nan)
+    assert np.array_equal(ref[exact], got[exact])
+    # subnormal decode error is bounded (< 2^-6)
+    assert np.all(np.abs(got[subnormal]) < 2.0**-6)

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_rs_tpu.ops.attn_meta import AttnMeta
+from vllm_rs_tpu.ops.pallas.paged_attention import to_bf16
 
 _NEG_INF = -1e30
 
@@ -80,7 +81,7 @@ def _mla_decode_kernel(
         q = q_ref[0].astype(jnp.bfloat16)  # [H, F]
         # ONE wide score dot: contraction over F covers ckv AND rope parts
         scores = jax.lax.dot_general(
-            q, rows.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            q, to_bf16(rows), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [H, P*bs]
         kpos = base + jax.lax.broadcasted_iota(
@@ -99,7 +100,7 @@ def _mla_decode_kernel(
         )
         # ONE pv dot: latent rows are the values (absorbed form)
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+            p.astype(jnp.bfloat16), to_bf16(rows),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [H, F]

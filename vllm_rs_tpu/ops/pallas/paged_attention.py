@@ -34,6 +34,31 @@ from vllm_rs_tpu.ops.attn_meta import AttnMeta
 _NEG_INF = -1e30
 
 
+def to_bf16(x):
+    """Convert a KV tile to bf16 for the MXU feed.
+
+    fp8-e4m3 takes a hand-rolled integer bit-twiddle instead of the IEEE
+    convert: e4m3 (bias 7) maps into bf16 (bias 127) by placing sign/exp/
+    mantissa and re-biasing the exponent (+120) — 6 integer VPU ops on
+    16-bit lanes, all of which Mosaic lowers natively. The measured
+    motivation: the generic fp8→bf16 convert made fp8-KV decode 2.65×
+    SLOWER than bf16 KV at the 0.6b batch-256 shape (PERF_NOTES r4 #6),
+    inverting the reference's fp8-KV win (kvcache_allocator.rs:188-193
+    halves KV bytes). Semantics delta vs IEEE: exact ±0 maps to ±0 (the
+    em==0 guard); e4m3 subnormals (magnitude < 2^-6 ≈ 0.016, far below
+    KV magnitudes) decode up to 2× off (treated as normals); e4m3 NaN
+    (0x7f) becomes a large finite value (KV data contains neither)."""
+    if x.dtype == jnp.float8_e4m3fn:
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.uint16)
+        sign = (bits & 0x80) << 8
+        em = (bits & 0x7F) << 4  # exp+mantissa into the bf16 field positions
+        mag = jnp.where(em == 0, 0, em + (120 << 7))  # re-bias 7 → 127
+        return jax.lax.bitcast_convert_type(
+            (sign | mag).astype(jnp.uint16), jnp.bfloat16
+        )
+    return x.astype(jnp.bfloat16)
+
+
 def _decode_kernel(
     # scalar prefetch
     bt_ref,  # [B, MB] int32 block tables
@@ -129,7 +154,7 @@ def _decode_kernel(
             k_h = kc[:, h * D : (h + 1) * D]  # lane-aligned slice, [P*bs, D]
             s_h = jax.lax.dot_general(
                 q,
-                k_h.astype(jnp.bfloat16),
+                to_bf16(k_h),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -168,7 +193,7 @@ def _decode_kernel(
             pv_rows.append(
                 jnp.dot(
                     p_h,
-                    vc[:, h * D : (h + 1) * D].astype(jnp.bfloat16),
+                    to_bf16(vc[:, h * D : (h + 1) * D]),
                     preferred_element_type=jnp.float32,
                 )
             )

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_rs_tpu.ops.attn_meta import AttnMeta
+from vllm_rs_tpu.ops.pallas.paged_attention import to_bf16
 
 _NEG_INF = -1e30
 
@@ -123,7 +124,7 @@ def _mr_decode_kernel(
             k_h = kc[:, h * D : (h + 1) * D]  # [RB*C, D]
             s_h = jax.lax.dot_general(
                 q_h,
-                k_h.astype(jnp.bfloat16),
+                to_bf16(k_h),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [RB*G, RB*C]
@@ -148,7 +149,7 @@ def _mr_decode_kernel(
             pv_rows.append(
                 jnp.dot(
                     pb[h * RB * G : (h + 1) * RB * G],
-                    vc[:, h * D : (h + 1) * D].astype(jnp.bfloat16),
+                    to_bf16(vc[:, h * D : (h + 1) * D]),
                     preferred_element_type=jnp.float32,
                 )
             )  # [RB*G, D]

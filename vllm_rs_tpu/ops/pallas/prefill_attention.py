@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_rs_tpu.ops.attn_meta import AttnMeta
+from vllm_rs_tpu.ops.pallas.paged_attention import to_bf16
 
 _NEG_INF = -1e30
 
@@ -119,7 +120,7 @@ def _prefill_kernel(
             s_h = (
                 jax.lax.dot_general(
                     q.astype(jnp.bfloat16),
-                    k_h.astype(jnp.bfloat16),
+                    to_bf16(k_h),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -141,7 +142,7 @@ def _prefill_kernel(
             )
             pv = jnp.dot(
                 p.astype(jnp.bfloat16),
-                vc[:, h * D : (h + 1) * D].astype(jnp.bfloat16),
+                to_bf16(vc[:, h * D : (h + 1) * D]),
                 preferred_element_type=jnp.float32,
             )
             acc_ref[rows, :] = acc_ref[rows, :] * alpha[:, :1] + pv
