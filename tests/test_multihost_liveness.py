@@ -216,9 +216,18 @@ def _spawn(rank: int, feed_port: int, env=None):
 
 
 def _wait_for(proc, token: str, timeout: float) -> str:
-    """Read stdout lines until one contains `token`; returns that line."""
+    """Read stdout lines until one contains `token`; returns that line.
+    select()-gated so a silent-but-alive worker fails at the deadline
+    instead of blocking readline forever (deflake: VERDICT r4 item 7)."""
+    import select
+
     deadline = time.time() + timeout
     while time.time() < deadline:
+        r, _, _ = select.select([proc.stdout], [], [], 1.0)
+        if not r:
+            if proc.poll() is not None:
+                raise AssertionError(f"worker exited early (rc={proc.poll()})")
+            continue
         line = proc.stdout.readline()
         if not line:
             raise AssertionError(f"worker exited early (rc={proc.poll()})")
@@ -247,15 +256,18 @@ def test_two_process_kill_survivor_exits(victim_rank):
         t0 = time.time()
         try:
             # generous bound: the liveness timeout is 10 s here, but the
-            # suite runs these workers alongside heavy CPU-jax tests
-            out, _ = survivor.communicate(timeout=90)
+            # suite runs these workers alongside heavy CPU-jax tests on a
+            # 1-core host — a genuine hang is forever, so a wide bound
+            # still guards the fail-fast contract while staying
+            # trustworthy under load (deflake: VERDICT r4 item 7)
+            out, _ = survivor.communicate(timeout=180)
         except subprocess.TimeoutExpired:
             pytest.fail("survivor hung after peer SIGKILL")
         elapsed = time.time() - t0
         text = out.decode(errors="replace")
         assert survivor.returncode == 3, f"survivor rc={survivor.returncode}:\n{text[-2000:]}"
         assert "MH_FAILED" in text
-        assert elapsed < 80, f"survivor took {elapsed:.1f}s to exit"
+        assert elapsed < 170, f"survivor took {elapsed:.1f}s to exit"
     finally:
         for p in procs.values():
             if p.poll() is None:

@@ -46,7 +46,9 @@ class EngineBuilder:
     # amortization — decisive on high-RTT links (PERF_NOTES r3 #7)
     multi_step: int = 1
     # smooth ITL for streaming clients under multi-step: bursts are paced
-    # across the next step's duration (core/pacer.py); no throughput cost
+    # across the next step's duration (core/pacer.py). Measured ~15%
+    # throughput cost at 64-stream saturation (the fresh-stream k-ramp,
+    # floored at k/8, takes a few shallow bursts per admission)
     stream_pacing: bool = False
     kv_dtype: str = "bfloat16"
     num_blocks: int = 0  # 0 → plan from free memory

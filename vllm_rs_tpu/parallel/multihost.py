@@ -281,8 +281,22 @@ class StepFollower:
     """Follower-side: receive step markers and hand them to the engine
     loop strictly in step order."""
 
-    def __init__(self, addr, heartbeat: bool = True):
-        self._sock = socket.create_connection(addr)
+    def __init__(self, addr, heartbeat: bool = True, connect_timeout_s: float = 60.0):
+        # retry the connect: follower and leader hosts start concurrently,
+        # and the leader binds its feed port only after its (slow) engine
+        # init — a single connect attempt races it and dies with
+        # ECONNREFUSED (observed as the 2-process kill test's startup
+        # flake; the production `--multihost` follower had the same race)
+        deadline = time.time() + connect_timeout_s
+        while True:
+            try:
+                self._sock = socket.create_connection(addr, timeout=5.0)
+                break
+            except OSError:
+                if time.time() >= deadline:
+                    raise
+                time.sleep(0.25)
+        self._sock.settimeout(None)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._q: "queue.Queue[dict]" = queue.Queue()
         self._closed = False
