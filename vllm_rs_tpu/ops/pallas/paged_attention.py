@@ -49,7 +49,10 @@ def to_bf16(x):
     KV magnitudes) decode up to 2× off (treated as normals); e4m3 NaN
     (0x7f) becomes a large finite value (KV data contains neither)."""
     if x.dtype == jnp.float8_e4m3fn:
-        bits = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.uint16)
+        # arithmetic on int32 lanes: Mosaic's 16-bit integer shifts crash
+        # the TPU compiler (bisected on-chip — u16 shl → tpu_compile_helper
+        # exit 1); i32 is the native VPU lane width and lowers cleanly
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
         sign = (bits & 0x80) << 8
         em = (bits & 0x7F) << 4  # exp+mantissa into the bf16 field positions
         mag = jnp.where(em == 0, 0, em + (120 << 7))  # re-bias 7 → 127
