@@ -434,14 +434,16 @@ def _kernel_auto_ab(deadline: float):
         return
     remaining = deadline - time.time()
     sides = 4
-    if remaining < 600:
+    if remaining < 1200:
+        # each side is a full engine bench (~5-8 min incl. init); with less
+        # than 20 min left a race would just produce four timeouts
         print(json.dumps({
             "metric": "kernel_auto_ab", "value": 0, "unit": "report",
             "vs_baseline": 0, "skipped": True,
             "reason": f"time budget exhausted ({remaining:.0f}s left)",
         }), flush=True)
         return
-    per_side = max(120, min(600, int(remaining / sides) - 30))
+    per_side = max(300, min(600, int(remaining / sides) - 30))
 
     def run(cmd, env_extra):
         env = dict(os.environ)
@@ -641,9 +643,13 @@ def _orchestrate():
     import subprocess
 
     t0 = time.time()
-    budget = float(os.environ.get("VLLM_RS_TPU_BENCH_BUDGET_S", "5400"))
+    # 75 min total: the driver's own wall-clock is unknown (round 4 found
+    # it the hard way); phases flush per-line so even a driver kill mid-run
+    # leaves every completed metric, and the orchestrator itself always
+    # exits 0 on phase timeouts
+    budget = float(os.environ.get("VLLM_RS_TPU_BENCH_BUDGET_S", "4500"))
     me = os.path.abspath(__file__)
-    for phase, tmo in (("8b", 2700), ("0.6b", 2100)):
+    for phase, tmo in (("8b", 2400), ("0.6b", 1500)):
         remaining = budget - (time.time() - t0)
         if remaining < 300:
             print(f"# phase {phase} skipped: {remaining:.0f}s left", file=sys.stderr)

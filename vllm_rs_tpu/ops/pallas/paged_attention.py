@@ -490,7 +490,11 @@ def paged_attention_decode_pallas(
         # P=8 756; bs=64 P=6 542; bs=128 P=3 537). Grid-iteration cost is
         # dominated by per-page-ref pipeline bookkeeping (~20ns/slot) plus
         # a fixed per-iteration charge — wider steps amortize both.
-        pages_per_step = max(1, 384 // block_size)
+        # Experiment knob (bench A/Bs only): VLLM_RS_TPU_SLOTS_PER_STEP.
+        import os
+
+        target = int(os.environ.get("VLLM_RS_TPU_SLOTS_PER_STEP", "384"))
+        pages_per_step = max(1, target // block_size)
     P = min(pages_per_step, MB)
     qg = q.reshape(B, Hk, G, D)
     if isinstance(sliding_window, jax.Array):
