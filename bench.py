@@ -681,8 +681,12 @@ def main():
     ap.add_argument("--spec", type=int, default=0)
     ap.add_argument("--spec-mode", choices=["grounded", "corpus"],
                     default="grounded")
-    # grounded-mode seed continuation length (0 = max(4k, 128))
+    # grounded-mode seed continuation length (0 = max(4k, 128)) and the
+    # number of seed passes (each appends its continuation to the prompt —
+    # longer self-history without any single generation crossing the
+    # environment's 512-token INTERNAL ceiling)
     ap.add_argument("--spec-seed", type=int, default=0)
+    ap.add_argument("--spec-seed-passes", type=int, default=1)
     # override tokens-per-host-sync (amortizes the dev tunnel RTT)
     ap.add_argument("--multi-step", type=int, default=0)
     # internal: one headline phase group, run in-process (the orchestrator
@@ -733,7 +737,7 @@ def main():
             engine, args.size, spec_k=args.spec, mode=args.spec_mode,
             prompt_tokens=args.prompt_tokens,
             decode_tokens=args.decode_tokens, rs=rs,
-            seed_tokens=args.spec_seed)))
+            seed_tokens=args.spec_seed, seed_passes=args.spec_seed_passes)))
         return
 
     print(json.dumps(_bench_batch1(
