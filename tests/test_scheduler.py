@@ -176,3 +176,35 @@ def test_all_guided_stays_single_step():
     batch = sched.schedule()
     assert batch.kind == "decode"
     assert len(batch.seqs) == 2 and batch.n_steps == 1
+
+
+def test_no_admission_past_max_num_seqs():
+    """With running at max_num_seqs, prefill must admit NOTHING — one more
+    row overflows the fixed decode bucket (found by the Poisson bench:
+    staggered arrival into a full engine IndexError'd run_multi)."""
+    sched, _ = make(max_num_seqs=2, multi_step_decode=4)
+    a = seq_of(4, max_tokens=64, ignore_eos=True)
+    b = seq_of(4, max_tokens=64, ignore_eos=True)
+    sched.add(a)
+    sched.add(b)
+    batch = sched.schedule()
+    sched.postprocess(batch, [1] * len(batch.seqs))
+    assert len(sched.running) == 2
+    late = seq_of(4, max_tokens=8, ignore_eos=True)
+    sched.add(late)
+    for _ in range(6):
+        batch = sched.schedule()
+        assert len(batch.seqs) + len(sched.running) <= 2 or (
+            batch.kind == "decode" and len(batch.seqs) <= 2
+        )
+        assert late not in batch.seqs
+        if batch.kind == "decode":
+            toks = (
+                [[1] * batch.n_steps for _ in batch.seqs]
+                if batch.n_steps > 1
+                else [1] * len(batch.seqs)
+            )
+        else:
+            toks = [1] * len(batch.seqs)
+        sched.postprocess(batch, toks)
+        assert len(sched.running) <= 2

@@ -150,7 +150,14 @@ class Scheduler:
         """
         batch = ScheduledBatch(kind="prefill")
         cfg = self.config
-        capacity = max(cfg.max_num_seqs - len(self.running), 1)
+        # hard cap: admitting past max_num_seqs overflows the decode row
+        # bucket (found by the Poisson steady-state bench: 64 running + a
+        # staggered arrival admitted a 65th row and the decode descriptor
+        # IndexError'd — the wave benches admit everything up front and
+        # never see a full-running admission)
+        capacity = cfg.max_num_seqs - len(self.running)
+        if capacity <= 0:
+            return batch
         skipped: List[Sequence] = []
         tier = 0
         max_rows = 1

@@ -49,14 +49,15 @@ def write_mla_cache(
 
 
 # Batch size at/above which "auto" decode uses the dedicated Pallas
-# kernel on TPU. Round-3 same-day crossover (mla_lab.py, 12-layer
-# DeepSeek-geometry, int4, ctx 192 — PERF_NOTES r3): gather 824 (B=32) /
-# 5,009 (B=128) / 4,804 (B=256) tok/s vs kernel 4,944 (B=128) / 3,721
-# (B=256) — in the round-3 bandwidth-degraded environment the gather is
-# never worse, so auto keeps it and the kernel is opt-in
-# (VLLM_RS_TPU_MLA_BACKEND=pallas) until a same-day A/B shows the
-# round-2-style gather collapse again.
-MLA_KERNEL_MIN_BATCH = 10**9
+# kernel on TPU. History of same-day A/Bs (mla_lab.py, 12-layer
+# DeepSeek-geometry, int4): round 3 (bandwidth-degraded environment) —
+# gather 824 (B=32) / 5,009 (B=128) / 4,804 (B=256) vs kernel 4,944 /
+# 3,721, gather never worse, kernel parked; round 5 (recovered
+# environment) — gather 6,525 vs kernel **7,139** at B=256 (+9.4%), so
+# auto now picks the kernel in the large-batch regime. bench.py's
+# kernel_auto_ab line re-races both every bench day;
+# VLLM_RS_TPU_MLA_BACKEND=gather|pallas forces a side.
+MLA_KERNEL_MIN_BATCH = 128
 
 
 def mla_paged_attention_deferred(
