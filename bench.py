@@ -84,13 +84,15 @@ def build(size: str, spec_k: int = 0):
             rope_theta=500000.0,
             eos_token_ids=(128001,),
         )
-        # 28,672 slots (3.76 GB bf16 KV): the 64-stream serving phase needs
-        # 64 × (128 prompt + 256 out) = 24,576 slots at peak. The old
-        # 8,192-slot pool forced preemption-by-recompute WAVES mid-bench —
-        # streams re-prefilled up to 12 s after their first token, which
-        # owned the ITL tail (p99 ~840 ms came from eviction stalls, not
-        # delivery — PERF_NOTES r4 #5) and burned throughput on re-prefills.
-        cache = CacheConfig(block_size=16, num_blocks=1792)
+        # 40,960 slots (5.4 GB bf16 KV): the 64-stream wave serving phase
+        # needs 64 × (128 prompt + 256 out) = 24,576 slots at peak, and the
+        # Poisson mixed-length phase peaks near 64 × (512 + 256) = 49,152 —
+        # round 4 measured 8,192 slots forcing preemption-by-recompute
+        # WAVES (12 s mid-stream stalls owned the ITL tail, PERF_NOTES r4
+        # #5), and round 5's first Poisson run hit the same with the 28,672
+        # pool (224 preemptions). The 8B-int4 engine has ~9 GB of HBM
+        # headroom at 1792 blocks, so 2560 is comfortably resident.
+        cache = CacheConfig(block_size=16, num_blocks=2560)
         import os as _os
 
         # multi-step on-device decode: 32 tokens per engine step amortizes

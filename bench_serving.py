@@ -223,7 +223,8 @@ def serve_bench(engine, *, streams=64, prompt_tokens=128, decode_tokens=128,
 
 def poisson_bench(engine, *, capacity_tps, utilization=0.8, multi_step=32,
                   chunk_size=8192, duration_s=45.0, warmup_s=12.0,
-                  baseline=120.74, seed=1):
+                  baseline=120.74, seed=1, wave_prompt=128, wave_decode=256,
+                  pacing=True):
     """Steady-state serving bench (VERDICT r4 item 8): Poisson arrivals at
     `utilization` × the measured max throughput, mixed prompt/output
     lengths, stream pacing on. The simultaneous-arrival bench above
@@ -243,7 +244,10 @@ def poisson_bench(engine, *, capacity_tps, utilization=0.8, multi_step=32,
             max_num_seqs=64,
             multi_step_decode=multi_step,
             chunk_size=chunk_size,
-            stream_pacing=True,
+            stream_pacing=pacing,
+            # staggered arrivals: admit in coalesced row batches instead of
+            # one tiny dispatch-priced prefill step per finish-freed slot
+            admission_coalesce_rows=8,
         ),
     )
     engine.scheduler.config = engine.econfig.scheduler
@@ -255,8 +259,16 @@ def poisson_bench(engine, *, capacity_tps, utilization=0.8, multi_step=32,
     # several decode row-buckets get exercised, unlike the fixed-128 wave
     p_lens, p_probs = [64, 128, 256, 512], [0.30, 0.35, 0.25, 0.10]
     o_lens, o_probs = [32, 128, 256], [0.30, 0.45, 0.25]
+    mean_prompt = float(np.dot(p_lens, p_probs))
     mean_out = float(np.dot(o_lens, o_probs))
-    rate = utilization * capacity_tps / mean_out  # arrivals/s
+    # Offered load accounting must count PREFILL work too: capacity_tps is
+    # the wave config's decode tok/s at a 128:256 prompt:output ratio,
+    # while this mix is far more prefill-heavy (179:131) — sizing arrivals
+    # by decode tokens alone offered ~100% of true capacity and the first
+    # run of this bench measured a 60 s p50 TTFT queue. Convert to
+    # total-token throughput, then to arrivals.
+    capacity_total = capacity_tps * (wave_prompt + wave_decode) / wave_decode
+    rate = utilization * capacity_total / (mean_prompt + mean_out)
     lock = threading.Lock()
 
     def run_pass(pass_duration, max_arrivals):
@@ -307,13 +319,30 @@ def poisson_bench(engine, *, capacity_tps, utilization=0.8, multi_step=32,
         return results
 
     engine.start_loop()
-    # warm pass (discarded): the length mix crosses prefill tiers and
-    # decode row/k buckets the wave bench never compiled — first-visit
-    # executables cost 20-90 s each through the dev tunnel and would
-    # otherwise own every percentile of the measured pass
-    run_pass(warmup_s, 256)
+    # warm passes (discarded): the length mix crosses a LATTICE of shapes
+    # the wave bench never compiled — (prefill row-bucket × tier) ×
+    # (decode row-bucket × block-span tier × ramp k) — and a first-visit
+    # executable costs 20-90 s through the dev tunnel's remote AOT
+    # compiler. A fixed-length warm pass left dozens compiling inside the
+    # measured window (p99 prefill step 13.9 s — the first run of this
+    # bench measured compile stalls, not serving), so warm until a whole
+    # pass adds NO new executable (bounded at ~6 passes / 420 s wall).
+    def cache_size():
+        fn = getattr(engine.runner, "compile_cache_size", None)
+        return fn() if fn else -1
+
+    t_warm0 = time.perf_counter()
+    last_n = -2
+    for _ in range(6):
+        run_pass(warmup_s, 160)
+        n = cache_size()
+        if n == last_n or time.perf_counter() - t_warm0 > 420:
+            break
+        last_n = n
     preempt0 = engine.scheduler.num_preemptions
+    compiles0 = cache_size()
     meas = run_pass(duration_s, 512)
+    compiles_during = cache_size() - compiles0
     engine.stop_loop()
 
     ttfts = sorted(r[1] for r in meas if r[1] is not None)
@@ -331,7 +360,8 @@ def poisson_bench(engine, *, capacity_tps, utilization=0.8, multi_step=32,
         "value": round(total_tokens / span, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(total_tokens / span / baseline, 4),
-        "offered_tps": round(rate * mean_out, 1),
+        "offered_decode_tps": round(rate * mean_out, 1),
+        "offered_total_tps": round(rate * (mean_prompt + mean_out), 1),
         "utilization_target": utilization,
         "arrival_rate_per_s": round(rate, 2),
         "streams": len(meas),
@@ -340,6 +370,10 @@ def poisson_bench(engine, *, capacity_tps, utilization=0.8, multi_step=32,
         "p50_itl_delivery_ms": round(pct(itls, 50) * 1e3, 2),
         "p99_itl_delivery_ms": round(pct(itls, 99) * 1e3, 2),
         "preemptions": engine.scheduler.num_preemptions - preempt0,
+        # nonzero = executables still compiled inside the measured window
+        # (each costs 20-90 s through the remote AOT tunnel and pollutes
+        # every percentile above)
+        "compiles_during_measure": compiles_during,
         "wall_s": round(span, 1),
     }
 

@@ -208,3 +208,79 @@ def test_no_admission_past_max_num_seqs():
             toks = [1] * len(batch.seqs)
         sched.postprocess(batch, toks)
         assert len(sched.running) <= 2
+
+
+def test_admission_coalescing_batches_trickled_capacity():
+    """With coalescing on, a head arrival into a busy engine waits (a
+    bounded number of schedule rounds) until a fuller row batch can start
+    together; the passover bound guarantees eventual admission."""
+    sched, _ = make(
+        max_num_seqs=4, admission_coalesce_rows=3, admission_coalesce_steps=4,
+        multi_step_decode=4,
+    )
+    a = seq_of(4, max_tokens=64, ignore_eos=True)
+    sched.add(a)
+    b1 = sched.schedule()
+    sched.postprocess(b1, [1])
+    # three late arrivals; capacity is 3 >= min(3, rows=3) -> admit at once
+    lates = [seq_of(4, max_tokens=8, ignore_eos=True) for _ in range(3)]
+    for s in lates:
+        sched.add(s)
+    b = sched.schedule()
+    assert b.kind == "prefill" and len(b.seqs) == 3
+    sched.postprocess(b, [1, 1, 1])
+
+    # a QUEUE of arrivals with capacity 1 < rows=2 is held back (a single
+    # waiting arrival would admit immediately — want = min(waiting, rows))
+    sched2, _ = make(
+        max_num_seqs=3, admission_coalesce_rows=2, admission_coalesce_steps=3,
+        multi_step_decode=4,
+    )
+    x = seq_of(4, max_tokens=64, ignore_eos=True)
+    y = seq_of(4, max_tokens=64, ignore_eos=True)
+    sched2.add(x)
+    sched2.add(y)
+    sched2.postprocess(sched2.schedule(), [1, 1])
+    late = seq_of(4, max_tokens=8, ignore_eos=True)
+    late2 = seq_of(4, max_tokens=8, ignore_eos=True)
+    sched2.add(late)
+    sched2.add(late2)
+    held_rounds = 0
+    for _ in range(10):
+        batch = sched2.schedule()
+        if late in batch.seqs:
+            break
+        held_rounds += 1
+        toks = (
+            [[1] * batch.n_steps for _ in batch.seqs]
+            if batch.kind == "decode" and batch.n_steps > 1
+            else [1] * len(batch.seqs)
+        )
+        sched2.postprocess(batch, toks)
+    # ... but the passover bound (3) forces admission eventually
+    assert late in batch.seqs
+    assert 1 <= held_rounds <= 4
+
+
+def test_mixed_tier_prompts_pack_one_step():
+    """Mixed-length arrivals pack into ONE prefill step: the batch tier
+    raises greedily over the window (rows pad up) instead of breaking on
+    the first different-length follower (the Poisson trickle fix)."""
+    sched, _ = make(chunk_size=64, prefill_buckets=(4, 8, 16, 32))
+    sizes = [3, 14, 7, 30]  # tiers 4, 16, 8, 32 — old rule: batch of 1
+    for n in sizes:
+        sched.add(seq_of(n))
+    b = sched.schedule()
+    assert b.kind == "prefill"
+    # tier raises 4 -> 16 over the first three rows (3*16 = 48 <= 64);
+    # the 30-token fourth would need tier 32 (4*32 > 64) -> next step
+    assert b.chunk_sizes == [3, 14, 7]
+    sched.postprocess(b, [1, 1, 1])
+
+
+def test_long_prefill_still_runs_solo():
+    sched, _ = make(chunk_size=16)
+    sched.add(seq_of(40))  # needs 3 chunks of 16 — top tier, solo
+    sched.add(seq_of(3))
+    b = sched.schedule()
+    assert b.chunk_sizes == [16]

@@ -50,6 +50,9 @@ class EngineBuilder:
     # throughput cost at 64-stream saturation (the fresh-stream k-ramp,
     # floored at k/8, takes a few shallow bursts per admission)
     stream_pacing: bool = False
+    # admission coalescing under staggered arrivals (see SchedulerConfig
+    # .admission_coalesce_rows): 1 = immediate admission
+    admission_coalesce: int = 1
     kv_dtype: str = "bfloat16"
     num_blocks: int = 0  # 0 → plan from free memory
     tp_size: int = 1
@@ -133,6 +136,7 @@ class EngineBuilder:
             prefix_cache_enabled=self.prefix_cache,
             multi_step_decode=self.multi_step,
             stream_pacing=self.stream_pacing,
+            admission_coalesce_rows=self.admission_coalesce,
         )
         econfig = EngineConfig(
             model=config, cache=cache, scheduler=sched,

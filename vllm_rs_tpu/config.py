@@ -418,6 +418,18 @@ class SchedulerConfig:
     # prefill/decode interleave fairness: after this many consecutive prefill
     # steps with decodes waiting, force a decode step (scheduler.rs:250-282)
     max_consecutive_prefills: int = 4
+    # admission coalescing for staggered arrivals: when the engine is busy
+    # and capacity trickles open one-two slots at a time (streams finish
+    # one by one), each arrival would otherwise get its own tiny prefill
+    # step at full dispatch cost — measured 136 prefill steps for 360
+    # Poisson arrivals, prefill eating ~60% of wall at 1/9th the wave
+    # bench's prefill rate. With rows > 1, prefill waits until that many
+    # rows can start together, bounded by `steps` passed-over schedule()
+    # rounds (COUNT-based, never wall-clock: multi-host followers replay
+    # the same schedule history, so the decision stays bit-identical
+    # across hosts). 1 = off (classic immediate admission).
+    admission_coalesce_rows: int = 1
+    admission_coalesce_steps: int = 8
     # prefix-cache occupancy control (scheduler.rs:48-58)
     prefix_cache_enabled: bool = True
     prefix_cache_max_ratio: float = 0.8

@@ -1095,7 +1095,10 @@ class ModelRunner:
         """Total compiled executables across the runner's jitted entry
         points (used to assert zero compiles after warmup)."""
         total = 0
-        for name in ("_jit_step", "_jit_multi", "_jit_verify", "_jit_embed"):
+        for name in (
+            "_jit_step", "_jit_multi", "_jit_verify", "_jit_embed",
+            "_jit_spec_multi",
+        ):
             fn = getattr(self, name, None)
             if fn is not None and hasattr(fn, "_cache_size"):
                 total += fn._cache_size()

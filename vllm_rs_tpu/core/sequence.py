@@ -80,6 +80,9 @@ class Sequence:
         self.prefill_extra = 0
         # tokens matched from the prefix cache at admission (for usage stats)
         self.num_prefix_cached_tokens = 0
+        # schedule() rounds this seq was held back by admission coalescing
+        # (scheduler state, deterministic across multi-host replicas)
+        self.admit_passovers = 0
         # optional extra hash seed for multimodal prefix hashing
         # (reference block_manager.rs:146-177)
         self.image_seed = image_seed

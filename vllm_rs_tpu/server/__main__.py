@@ -48,6 +48,11 @@ def main() -> None:
                     "~15%% throughput at 64-stream saturation (fresh "
                     "streams ramp k up from k/8 so their first gap stays "
                     "small)")
+    ap.add_argument("--admission-coalesce", type=int, default=1, metavar="ROWS",
+                    help="hold new admissions (bounded rounds) until ROWS "
+                    "can prefill together — under staggered arrivals each "
+                    "finish-freed slot otherwise triggers its own tiny "
+                    "dispatch-priced prefill step; 1 = immediate")
     ap.add_argument("--yarn-scaling-factor", type=float, default=0.0,
                     help="override/install YaRN rope scaling: extends the "
                     "context to factor x the original length (reference "
@@ -120,6 +125,7 @@ def main() -> None:
         chunk_size=args.chunk_size,
         multi_step=args.multi_step,
         stream_pacing=args.stream_pacing,
+        admission_coalesce=args.admission_coalesce,
         kv_dtype=args.kv_dtype,
         num_blocks=args.num_blocks,
         tp_size=args.tp_size,
