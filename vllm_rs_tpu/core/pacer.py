@@ -65,6 +65,13 @@ class StreamPacer:
         # sid → FIFO of (deadline, queue, item); only the head's deadline
         # gates delivery, so per-sid order is structural
         self._pending: Dict[int, Deque[Tuple[float, object, object]]] = {}
+        # sid → (last burst arrival, EMA of inter-burst interval): the
+        # engine's span estimate assumes the next step is the same-kind
+        # decode step, but under prefill/decode interleave (staggered
+        # arrivals) the true burst cadence is 2-3 steps — pacing to the
+        # observed cadence (bounded) spreads tokens across the real gap
+        # instead of clumping in its first third
+        self._cadence: Dict[int, Tuple[float, float]] = {}
         self._stopped = False
         self._thread = threading.Thread(
             target=self._run, daemon=True, name="stream-pacer"
@@ -83,6 +90,21 @@ class StreamPacer:
         now = time.monotonic()
         finished = bool(getattr(items[-1], "finished", False))
         n = len(items)
+        # blend the engine's span estimate with the observed per-stream
+        # burst cadence (EMA), bounded at 3x the estimate so a one-off
+        # stall cannot stretch pacing indefinitely; leftovers flush on the
+        # next burst either way, so overestimates self-correct
+        prev = self._cadence.get(sid)
+        if prev is not None and not finished:
+            gap = now - prev[0]
+            ema = 0.5 * prev[1] + 0.5 * gap if prev[1] > 0 else gap
+            self._cadence[sid] = (now, ema)
+            if span_s > 0.0:
+                span_s = max(span_s, min(ema, 3.0 * span_s))
+        elif finished:
+            self._cadence.pop(sid, None)
+        else:
+            self._cadence[sid] = (now, 0.0)
         if finished or span_s <= 0.0 or n == 1:
             interval = 0.0
         else:
@@ -125,6 +147,12 @@ class StreamPacer:
                     for _, q, it in dq:
                         it.ts = now
                         q.put(it)
+            if sid is None:
+                self._cadence.clear()
+            else:
+                # abort/error paths end a stream without a finished burst;
+                # drop its cadence state so sids don't accumulate
+                self._cadence.pop(sid, None)
 
     def stop(self) -> None:
         self.flush()
