@@ -1173,6 +1173,16 @@ class ModelRunner:
                     c = min(ctx, cap - spec_k - 1)
                     batch = self._dummy_batch(b, c, extra=spec_k + 1)
                     self.run_verify(batch, [[1] * spec_k for _ in batch.seqs])
+                if spec_k > 0 and multi_step > 1:
+                    # the ON-DEVICE propose+verify loop is its own program
+                    # (run_spec_multi) — serving with spec_decode_k +
+                    # multi_step engages it, not run_verify (gap exposed
+                    # once compile_cache_size counted _jit_spec_multi)
+                    c = min(ctx, cap - multi_step - spec_k - 1)
+                    batch = self._dummy_batch(
+                        b, max(c, 1), extra=multi_step + spec_k + 1
+                    )
+                    self.run_spec_multi(batch, multi_step, spec_k)
         if mode == "full":
             from vllm_rs_tpu.config import SamplingParams
 

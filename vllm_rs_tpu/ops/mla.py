@@ -50,14 +50,16 @@ def write_mla_cache(
 
 # Batch size at/above which "auto" decode uses the dedicated Pallas
 # kernel on TPU. History of same-day A/Bs (mla_lab.py, 12-layer
-# DeepSeek-geometry, int4): round 3 (bandwidth-degraded environment) —
-# gather 824 (B=32) / 5,009 (B=128) / 4,804 (B=256) vs kernel 4,944 /
-# 3,721, gather never worse, kernel parked; round 5 (recovered
-# environment) — gather 6,525 vs kernel **7,139** at B=256 (+9.4%), so
-# auto now picks the kernel in the large-batch regime. bench.py's
-# kernel_auto_ab line re-races both every bench day;
+# DeepSeek-geometry, int4, B=256 unless noted): round 3
+# (bandwidth-degraded environment) — gather 824 (B=32) / 5,009 (B=128) /
+# 4,804 vs kernel 4,944 (B=128) / 3,721, gather never worse; round 5 —
+# two races three hours apart SPLIT (gather 6,525 vs kernel 7,139, then
+# gather 7,633 vs kernel 7,231): the sides are equal within the
+# environment's same-day spread (±4-9%). Auto keeps the simpler XLA
+# gather until a day's race shows a consistent kernel win; bench.py's
+# kernel_auto_ab line re-races both every bench day, and
 # VLLM_RS_TPU_MLA_BACKEND=gather|pallas forces a side.
-MLA_KERNEL_MIN_BATCH = 128
+MLA_KERNEL_MIN_BATCH = 10**9
 
 
 def mla_paged_attention_deferred(
