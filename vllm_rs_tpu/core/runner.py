@@ -387,6 +387,17 @@ class ModelRunner:
                 if tbl is not None and start < tbl.shape[1]:
                     end = min(start + c, tbl.shape[1])
                     mrope[i, :, : end - start] = tbl[:, start:end]
+        # fresh-prefill marker (models/llama.py deferred fresh path): every
+        # row's chunk starts at context 0 — no prefix-cache hit, no earlier
+        # chunk — so the whole attention span is this step's own tokens.
+        # Presence routes the jit program (pytree structure keys the
+        # cache). VLLM_RS_TPU_PREFILL_DEFERRED=0 disables (A/B hook).
+        import os as _os
+
+        fresh = (
+            _os.environ.get("VLLM_RS_TPU_PREFILL_DEFERRED", "1") != "0"
+            and all(s.num_cached_tokens == 0 for s in seqs)
+        )
         meta = AttnMeta(
             positions=jnp.asarray(positions),
             slot_mapping=jnp.asarray(slots),
@@ -399,6 +410,7 @@ class ModelRunner:
             mm_deepstack=mm_deepstack,
             mrope_positions=jnp.asarray(mrope) if mrope is not None else None,
             block_write_idx=jnp.asarray(bw) if bw is not None else None,
+            fresh_prefill=jnp.ones((), jnp.int32) if fresh else None,
         )
         return jnp.asarray(token_ids), meta
 
@@ -1196,6 +1208,17 @@ class ModelRunner:
                         kind="prefill", seqs=[seq], chunk_sizes=[t]
                     )
                     self.run(batch)
+                # prefix-hit / later-chunk prefills route to the CLASSIC
+                # write-in-scan program (no fresh_prefill marker) — warm it
+                # too, with a block of already-cached context
+                bsz = self.block_size
+                seq = Sequence(
+                    [1] * (t + bsz), SamplingParams(max_tokens=8, temperature=0.0)
+                )
+                seq.block_table = [0] * -(-(t + bsz) // bsz)
+                seq.num_cached_tokens = bsz
+                batch = ScheduledBatch(kind="prefill", seqs=[seq], chunk_sizes=[t])
+                self.run(batch)
         n = self.compile_cache_size() - before
         logger.info(
             "warmup(%s): %d executables compiled in %.1fs", mode, n, time.time() - t0

@@ -276,6 +276,40 @@ def attention_block_verify_deferred(
     return o, k, v
 
 
+def attention_block_prefill_deferred(
+    lp: dict,
+    h: jax.Array,  # [B, T, D] — a FRESH chunk (context starts at 0)
+    meta: AttnMeta,  # fresh_prefill set (ops/attn_meta.py)
+    config: ModelConfig,
+    *,
+    scale: float,
+    sliding_window: int = 0,
+):
+    """Fresh-prefill attention with deferred KV write: every key the chunk
+    can attend IS the chunk (context starts at position 0 for every row),
+    so attention runs in-window over the fresh K/V — the pool is never
+    read OR written inside the layer scan; the window's K/V return to the
+    caller for one post-scan block-granularity scatter. The classic
+    write-in-scan path's per-layer pool-slice copy + write-back measured
+    55% of the prefill step at the batch-256 shape (lab06b
+    no_prefill_write, PERF_NOTES r5). Returns (attn_out, k_new, v_new)."""
+    from vllm_rs_tpu.ops.attention import attend_gathered
+
+    B, T, _ = h.shape
+    q, k, v = qkv_rope(lp, h, meta, config)
+    # attend_gathered over C == T rows: key row index IS the absolute
+    # position for a fresh chunk, so its causal/context/window masks apply
+    # unchanged (and padded rows/tokens mask exactly as the classic
+    # reference path does)
+    out = attend_gathered(
+        q, k, v, meta,
+        scale=scale, logit_softcap=config.attn_logit_softcap,
+        sliding_window=sliding_window,
+    )
+    o = linear(lp["o"], out.reshape(B, T, -1))
+    return o, k, v
+
+
 def gather_last_hidden(hidden: jax.Array, meta: AttnMeta) -> jax.Array:
     """Gather each row's last real token's hidden state: [B, T, D] → [B, D]
     (reference llama.rs:306-310 last-token gather before lm_head)."""

@@ -229,12 +229,32 @@ class CausalLM:
             and not cfg.layer_windows
             and not cfg.sliding_window
         )
-        if deferred or verify_deferred:
+        # fresh-prefill deferred (T > 1, every row's context starts at 0):
+        # attention runs in-window over the chunk's own K/V, the pool is
+        # neither read nor written inside the scan, and all layers' KV
+        # scatters once afterwards at block granularity — the classic
+        # path's per-layer pool-slice copy + write-back measured 55% of
+        # the prefill step at the batch-256 marquee shape (lab06b
+        # no_prefill_write: 9,565 → 12,185 tok/s with writes stubbed;
+        # PERF_NOTES r5). Sliding windows are fine (the window is inside
+        # the chunk); custom-attention subclasses use their own paths.
+        fresh_prefill = (
+            token_ids.shape[1] > 1
+            and meta.fresh_prefill is not None
+            and meta.pool_lens is None
+            and isinstance(kv, jax.Array)
+            and type(self).attention is CausalLM.attention
+        )
+        if deferred or verify_deferred or fresh_prefill:
             from vllm_rs_tpu.models.layers import (
                 attention_block_deferred,
+                attention_block_prefill_deferred,
                 attention_block_verify_deferred,
             )
-            from vllm_rs_tpu.ops.attention import scatter_deferred_kv
+            from vllm_rs_tpu.ops.attention import (
+                scatter_deferred_kv,
+                scatter_deferred_kv_blocks,
+            )
 
             def layer_fn(h, xs):
                 lp, li = xs
@@ -248,6 +268,11 @@ class CausalLM:
                         lp, attn_in, meta, kv, cfg,
                         block_size=self.block_size, scale=self.scale,
                         attn_backend=self.attn_backend, layer_idx=li,
+                    )
+                elif fresh_prefill:
+                    attn_out, k_new, v_new = attention_block_prefill_deferred(
+                        lp, attn_in, meta, cfg,
+                        scale=self.scale, sliding_window=window,
                     )
                 else:
                     attn_out, k_new, v_new = attention_block_deferred(
@@ -284,7 +309,12 @@ class CausalLM:
             h, (k_news, v_news) = jax.lax.scan(
                 layer_fn, h, (params["layers"], jnp.arange(L, dtype=jnp.int32))
             )
-            kv = scatter_deferred_kv(kv, k_news, v_news, meta.slot_mapping)
+            if fresh_prefill and meta.block_write_idx is not None:
+                kv = scatter_deferred_kv_blocks(
+                    kv, k_news, v_news, meta.block_write_idx, self.block_size
+                )
+            else:
+                kv = scatter_deferred_kv(kv, k_news, v_news, meta.slot_mapping)
             return kv, h
 
         # classic write-in-scan path (prefill; quantized-KV decode): the

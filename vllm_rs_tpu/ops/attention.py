@@ -384,6 +384,42 @@ def scatter_deferred_kv(
     return flat.reshape(L, 2, S, F)
 
 
+def scatter_deferred_kv_blocks(
+    kv: jax.Array,  # [L, 2, S, F]
+    k_news: jax.Array,  # [L, B*T, F] token rows, T % block_size == 0
+    v_news: jax.Array,
+    block_write_idx: jax.Array,  # [B, T // block_size] int32, pad == nb
+    block_size: int,
+) -> jax.Array:
+    """One BLOCK-granularity WINDOW scatter installing every layer's
+    deferred prefill KV (the fresh-prefill analog of scatter_deferred_kv):
+    one scatter index per covered block per layer/plane, block_size×
+    fewer than the per-token path. Uses the [bs, F] window formulation —
+    merging the block into the minor dim via reshape forces a full-pool
+    relayout copy under TPU tiling (10.5 GB HLO temp → OOM at this scale;
+    see ops/kv_cache.py scatter_block_windows)."""
+    from vllm_rs_tpu.ops.kv_cache import scatter_block_windows
+
+    L, _, S, F = kv.shape
+    nb = S // block_size
+    blk = block_write_idx.reshape(-1)  # [G], pad == nb
+    G = blk.shape[0]
+    flat = kv.reshape(L * 2 * S, F)  # major-dim merge: true bitcast
+    l_idx = jnp.arange(L, dtype=jnp.int32)[:, None]  # [L, 1]
+    valid = blk[None, :] < nb
+    # distinct, non-overlapping OOB windows per (layer, block): dropped
+    oob = L * 2 * S + (l_idx * G + jnp.arange(G, dtype=jnp.int32)[None, :]) * block_size
+    k_starts = jnp.where(valid, (l_idx * 2) * S + blk[None, :] * block_size, oob)
+    v_starts = jnp.where(valid, (l_idx * 2 + 1) * S + blk[None, :] * block_size, oob)
+    flat = scatter_block_windows(
+        flat, k_starts.reshape(-1), k_news.reshape(L * G, block_size, F)
+    )
+    flat = scatter_block_windows(
+        flat, v_starts.reshape(-1), v_news.reshape(L * G, block_size, F)
+    )
+    return flat.reshape(L, 2, S, F)
+
+
 def paged_attention(
     q: jax.Array,
     k_new: jax.Array,  # [B, T, Hk, D]

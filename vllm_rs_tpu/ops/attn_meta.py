@@ -61,3 +61,12 @@ class AttnMeta(NamedTuple):
     # in-window causal partial — see ops/attention.py
     # paged_attention_verify_deferred. None → classic write-in-scan.
     pool_lens: jax.Array = None
+    # FRESH-prefill marker (set by prepare_prefill when every row's chunk
+    # starts at context 0, i.e. no prefix-cache hit and no earlier chunk):
+    # the whole attention span is this step's own tokens, so eligible
+    # models attend in-window over the fresh K/V and scatter ALL layers'
+    # KV once after the layer scan — the classic write-in-scan path's
+    # per-layer pool-slice copy + write-back was measured at 55% of the
+    # prefill step (lab06b no_prefill_write, PERF_NOTES r5). Presence
+    # (not value) routes the jit program: None → classic path.
+    fresh_prefill: jax.Array = None

@@ -106,6 +106,43 @@ def unique_pad_slots(slots: jax.Array, num_slots: int) -> jax.Array:
     return jnp.where(slots < num_slots, slots, oob)
 
 
+def scatter_block_windows(
+    flat: jax.Array,  # [R, F]
+    row_starts: jax.Array,  # [G] int32 window start rows; OOB starts drop
+    updates: jax.Array,  # [G, bs, F]
+) -> jax.Array:
+    """Scatter [bs, F] row WINDOWS into a flat [R, F] pool view.
+
+    The window formulation is the whole point: the obvious alternative —
+    reshape the pool to [nb, bs*F] and scatter one row per block — merges
+    the block dim into the MINOR dim, which under TPU tiled layouts is
+    not a bitcast: XLA materializes a full-pool relayout copy (measured
+    343 ms per prefill step at the batch-256 marquee shape = 55% of the
+    step, and a 10.5 GB HLO temp → OOM when the deferred path tried it
+    at whole-pool scale — PERF_NOTES r5). A window scatter keeps the
+    [*, F] layout (only major dims merge on the way in, a true bitcast)
+    while still issuing one scatter index per BLOCK.
+
+    `row_starts` must be unique and bs-aligned; callers pad with DISTINCT
+    out-of-bounds starts (dropped by FILL_OR_DROP) to keep the
+    unique_indices promise honest — without it XLA emits a serializing
+    scatter (~55x its bytes on TPU)."""
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,),
+    )
+    return jax.lax.scatter(
+        flat,
+        row_starts[:, None],
+        updates.astype(flat.dtype),
+        dnums,
+        indices_are_sorted=False,
+        unique_indices=True,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+    )
+
+
 def write_kv_layer(
     kv_l: KVLayer,
     k_new: jax.Array,  # [B, T, Hk, D]
@@ -117,8 +154,8 @@ def write_kv_layer(
 
     With `block_write_idx` (block-aligned prefill chunks — see
     AttnMeta.block_write_idx) the write runs at BLOCK granularity: one
-    scatter row of block_size·F elements per covered block, bs× fewer
-    update rows than the per-token path. Rows past a chunk's end inside a
+    scatter index per covered block (a [bs, F] window), bs× fewer update
+    rows than the per-token path. Rows past a chunk's end inside a
     covered block receive padding garbage — safe, they sit beyond the
     sequence's context in its own block (masked everywhere, overwritten
     by decode)."""
@@ -129,16 +166,19 @@ def write_kv_layer(
         M = slot_mapping.size
         bs = M // G
         nb = S // bs
-        flat_blocks = unique_pad_slots(block_write_idx.reshape(-1), nb)
-        _u = dict(mode="drop", unique_indices=True)
-        blocked = kv_l.reshape(2, nb, bs * F)
-        blocked = blocked.at[0, flat_blocks].set(
-            k_new.reshape(G, bs * F).astype(kv_l.dtype), **_u
+        blk = block_write_idx.reshape(-1)
+        valid = blk < nb
+        g = jnp.arange(G, dtype=blk.dtype)
+        # distinct, non-overlapping OOB windows for pads
+        oob = 2 * S + g * bs
+        flat = kv_l.reshape(2 * S, F)  # major-dim merge: true bitcast
+        flat = scatter_block_windows(
+            flat, jnp.where(valid, blk * bs, oob), k_new.reshape(G, bs, F)
         )
-        blocked = blocked.at[1, flat_blocks].set(
-            v_new.reshape(G, bs * F).astype(kv_l.dtype), **_u
+        flat = scatter_block_windows(
+            flat, jnp.where(valid, S + blk * bs, oob), v_new.reshape(G, bs, F)
         )
-        return blocked.reshape(2, S, F)
+        return flat.reshape(2, S, F)
     M = slot_mapping.size
     flat_slots = unique_pad_slots(slot_mapping.reshape(-1), kv_slots(kv_l))
     k_flat = k_new.reshape(M, -1)
