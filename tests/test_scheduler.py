@@ -284,3 +284,19 @@ def test_long_prefill_still_runs_solo():
     sched.add(seq_of(3))
     b = sched.schedule()
     assert b.chunk_sizes == [16]
+
+
+def test_chunk_clamped_to_largest_tier():
+    """chunk_size bigger than every prefill bucket: chunks clamp to the
+    max tier instead of building a descriptor no executable shape fits
+    (chunk 8192 + a >2048-token prompt used to crash the runner)."""
+    sched, _ = make(
+        num_blocks=512, chunk_size=64, prefill_buckets=(4, 8, 16),
+        max_model_len=256,
+    )
+    sched.add(seq_of(50, max_tokens=4, ignore_eos=True))
+    sched.add(seq_of(50, max_tokens=4, ignore_eos=True))
+    b = sched.schedule()
+    assert b.kind == "prefill"
+    # both long prompts take max-tier (16) chunks, packed 2 per step
+    assert b.chunk_sizes == [16, 16]

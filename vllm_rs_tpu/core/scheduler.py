@@ -182,7 +182,17 @@ class Scheduler:
                 if not self.bm.allocate_prompt(seq):
                     skipped.append(seq)
                     break  # FCFS: don't admit younger work past a blocked head
-            chunk = min(seq.num_prefill_remaining, cfg.chunk_size)
+            # chunks are additionally clamped to the largest prefill tier:
+            # a chunk bigger than every bucket has no executable shape to
+            # run in (chunk_size 8192 with the default 2048-max ladder +
+            # a >2048-token prompt crashed the descriptor build — found by
+            # a config probe, round 5); long prompts take several
+            # max-tier chunks, and the row budget below still packs
+            # multiple of them into one step
+            chunk = min(
+                seq.num_prefill_remaining, cfg.chunk_size,
+                cfg.prefill_buckets[-1],
+            )
             t = next(
                 (b for b in cfg.prefill_buckets if chunk <= b),
                 cfg.prefill_buckets[-1],
