@@ -140,12 +140,42 @@ def patch_no_prefill_attend():
 
 def patch_no_prefill_write():
     """Prefill attends over the stale cache (no KV write scatter) —
-    isolates the per-layer prefill write_kv_layer scatter cost."""
+    isolates the prefill KV write cost. Stubs BOTH write paths: the
+    classic per-layer write_kv_layer and the deferred fresh-prefill
+    post-scan block scatter."""
     import vllm_rs_tpu.ops.attention as am
 
-    orig = am.write_kv_layer
+    orig_w = am.write_kv_layer
+    orig_s = am.scatter_deferred_kv_blocks
     am.write_kv_layer = lambda kv_l, k, v, slots, **kw: kv_l
-    return lambda: setattr(am, "write_kv_layer", orig)
+    am.scatter_deferred_kv_blocks = lambda kv, kn, vn, bw, bs: kv
+
+    def undo():
+        am.write_kv_layer = orig_w
+        am.scatter_deferred_kv_blocks = orig_s
+
+    return undo
+
+
+def patch_no_fresh_attend():
+    """Deferred fresh-prefill path keeps qkv/o projections + the KV
+    return but skips the in-window attention — isolates the dense
+    attend_gathered share of the new prefill step."""
+    import jax.numpy as jnp
+
+    import vllm_rs_tpu.models.layers as layers_mod
+    from vllm_rs_tpu.models.layers import linear, qkv_rope
+
+    orig = layers_mod.attention_block_prefill_deferred
+
+    def fake(lp, h, meta, config, *, scale, sliding_window=0):
+        B, T, _ = h.shape
+        q, k, v = qkv_rope(lp, h, meta, config)
+        o = linear(lp["o"], q.reshape(B, T, -1).astype(h.dtype))
+        return o, k, v
+
+    layers_mod.attention_block_prefill_deferred = fake
+    return lambda: setattr(layers_mod, "attention_block_prefill_deferred", orig)
 
 
 def patch_all_aux():
@@ -170,6 +200,7 @@ if __name__ == "__main__":
         "no_sampling": patch_no_sampling,
         "no_prefill_attend": patch_no_prefill_attend,
         "no_prefill_write": patch_no_prefill_write,
+        "no_fresh_attend": patch_no_fresh_attend,
         "trunk_only": patch_all_aux,
     }
     for w in which:

@@ -23,7 +23,7 @@ from vllm_rs_tpu.utils.spec import (
 )
 
 
-def _engine(spec_k=0, multi_step=1, max_model_len=96, seed=0):
+def _engine(spec_k=0, multi_step=1, max_model_len=96, seed=0, spec_adaptive=False):
     cfg = ModelConfig(
         model_type="llama",
         hidden_size=64,
@@ -40,7 +40,7 @@ def _engine(spec_k=0, multi_step=1, max_model_len=96, seed=0):
         scheduler=SchedulerConfig(
             max_num_seqs=4, chunk_size=16, max_model_len=max_model_len,
             prefill_buckets=(8, 16), spec_decode_k=spec_k,
-            multi_step_decode=multi_step,
+            multi_step_decode=multi_step, spec_adaptive=spec_adaptive,
         ),
         prefill_buckets=(8, 16),
         decode_buckets=(4,),
@@ -167,3 +167,41 @@ class TestSpecOndeviceLoop:
         base = _engine(0, seed=3).generate([prompt], sp)
         spec = _engine(spec_k=4, multi_step=8, seed=3).generate([prompt], sp)
         assert base[0].output_token_ids == spec[0].output_token_ids
+
+
+class TestAdaptiveGate:
+    def test_low_acceptance_falls_back_to_plain(self):
+        """At low measured acceptance the engine decodes plain for 7 of 8
+        spec-eligible bursts (outputs bit-identical either way); with the
+        gate disabled every burst runs the spec loop."""
+        import numpy as np
+
+        def run(adaptive):
+            e = _engine(multi_step=8, spec_k=4, spec_adaptive=adaptive)
+            sp = SamplingParams(temperature=0.0, max_tokens=64, ignore_eos=True)
+            prompt = list(np.random.RandomState(0).randint(1, 120, size=12))
+            out = e.generate([prompt], sp)[0]
+            st = getattr(e.runner, "spec_stats", None) or {}
+            return out.output_token_ids, st.get("vsteps", 0)
+
+        toks_a, vsteps_a = run(True)
+        toks_b, vsteps_b = run(False)
+        assert toks_a == toks_b  # greedy-exact regardless of the gate
+        assert vsteps_a > 0  # optimistic first burst probes the spec loop
+        if vsteps_b > vsteps_a:
+            # acceptance was low: the gate skipped most spec bursts
+            assert vsteps_a < vsteps_b
+
+    def test_gate_state_machine(self):
+        """Unit: low-acceptance observation → 7 plain bursts, then a
+        re-probe; high acceptance keeps spec on."""
+        e = _engine(multi_step=8, spec_k=4, spec_adaptive=True)
+        assert e._spec_allow()  # optimistic start
+        e.runner.spec_stats = {"emitted": 10, "vsteps": 10}
+        e._spec_observe({"emitted": 0, "vsteps": 0})  # acceptance 1.0 < 1.5
+        allows = [e._spec_allow() for _ in range(8)]
+        assert allows == [False] * 7 + [True]
+        # high acceptance: gate stays open
+        e.runner.spec_stats = {"emitted": 30, "vsteps": 20}
+        e._spec_observe({"emitted": 10, "vsteps": 10})  # acceptance 2.0
+        assert e._spec_allow()

@@ -604,10 +604,18 @@ class LLMEngine:
         if self.profiler is not None:
             self.profiler.on_step_start()
         t_fwd = time.time()
-        if batch.kind == "decode" and batch.spec_k > 0:
+        if batch.kind == "decode" and batch.spec_k > 0 and not self._spec_allow():
+            # adaptive spec gate: measured acceptance is below break-even
+            # (~1.5 — a verify iteration pays a (k+1)-query attention pass
+            # per emitted group), so this burst decodes plain; every 8th
+            # burst re-probes. Bit-identical outputs either way.
+            tokens = self.runner.run_multi(batch, batch.n_steps)
+        elif batch.kind == "decode" and batch.spec_k > 0:
             # on-device speculative loop: propose+verify in one program
             # (n_steps is the per-seq emission budget)
+            st0 = dict(getattr(self.runner, "spec_stats", None) or {})
             tokens = self.runner.run_spec_multi(batch, batch.n_steps, batch.spec_k)
+            self._spec_observe(st0)
         elif batch.kind == "decode" and batch.drafts is not None:
             tokens = self.runner.run_verify(batch, batch.drafts)
         elif batch.kind == "decode" and batch.n_steps > 1:
@@ -644,6 +652,32 @@ class LLMEngine:
             self._deliver(emitted, pace_span)
             self._maybe_log_throughput()
         return len(batch.seqs)
+
+    # -- adaptive speculative decode gate (config.spec_adaptive) --------
+    # integer state evolved from device-computed integer counters only:
+    # multi-host replicas run the same bursts and flip the gate at the
+    # same step boundaries (determinism contract)
+
+    _spec_plain_countdown = 0
+
+    def _spec_allow(self) -> bool:
+        if not self.econfig.scheduler.spec_adaptive:
+            return True
+        if self._spec_plain_countdown > 0:
+            self._spec_plain_countdown -= 1
+            return False
+        return True  # optimistic start + periodic re-probe
+
+    def _spec_observe(self, st0: dict) -> None:
+        if not self.econfig.scheduler.spec_adaptive:
+            return
+        st1 = getattr(self.runner, "spec_stats", None) or {}
+        d_emit = st1.get("emitted", 0) - st0.get("emitted", 0)
+        d_vsteps = st1.get("vsteps", 0) - st0.get("vsteps", 0)
+        # acceptance < 1.5 (integer compare) → plain for the next 7
+        # spec-eligible bursts, then re-probe
+        if d_vsteps > 0 and 2 * d_emit < 3 * d_vsteps:
+            self._spec_plain_countdown = 7
 
     def _maybe_log_throughput(self) -> None:
         now = time.time()
