@@ -366,9 +366,15 @@ def _bench_spec(engine, size, *, spec_k, mode, prompt_tokens, decode_tokens, rs,
                 engine.step()
             prompt = prompt + list(engine.requests[sid].seq.output_token_ids)
     # warmup with the EXACT measured shape (compiles prefill + the spec
-    # program — on-device loop when multi-step > 1, verify buckets else)
+    # program — on-device loop when multi-step > 1, verify buckets else).
+    # The adaptive spec gate is phase-reset before BOTH passes so the
+    # measured pass replays the warmup's exact spec/plain burst sequence —
+    # otherwise a probe burst can land on a shape the warmup never
+    # compiled and a 30-60 s mid-measure compile owns the number
     budget = engine.econfig.scheduler.multi_step_decode
+    engine._spec_plain_countdown = 0
     run_once(decode_tokens, prompt=prompt)
+    engine._spec_plain_countdown = 0
     st0 = dict(getattr(engine.runner, "spec_stats", None) or {})
     n_out, decode_time, ttft, steps = run_once(decode_tokens, prompt=prompt)
     eff_tps = (n_out - 1) / decode_time if decode_time > 0 else 0.0
