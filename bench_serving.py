@@ -333,10 +333,10 @@ def poisson_bench(engine, *, capacity_tps, utilization=0.8, multi_step=32,
 
     t_warm0 = time.perf_counter()
     last_n = -2
-    for _ in range(6):
+    for _ in range(8):
         run_pass(warmup_s, 160)
         n = cache_size()
-        if n == last_n or time.perf_counter() - t_warm0 > 420:
+        if n == last_n or time.perf_counter() - t_warm0 > 540:
             break
         last_n = n
     preempt0 = engine.scheduler.num_preemptions
